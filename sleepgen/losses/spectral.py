@@ -1,0 +1,47 @@
+"""Spectral (Jukebox) loss — FFT-magnitude L2, TPU-native.
+
+Parity target: MONAI-generative ``JukeboxLoss(spatial_dims=1,
+reduction="sum")`` as used by the reference AEKL trainer
+(``src/train_autoencoderkl.py:158,208``; weight 1e4 from
+``config/config_aekl_eeg.yaml:17``) and the pure-DM trainer on predicted
+vs true noise (``src/train_pure_ldm.py:128-158``, weight 1e-6).
+
+Semantics: amplitude = |FFT(x)| over the spatial dims with "ortho" norm,
+loss = MSE(amplitude(target), amplitude(input)) with the given reduction.
+
+The reference README notes this loss is numerically unstable
+(``README.md:18`` — "we used the last model before the loss exploded"), so
+the FFT and the reduction are forced to float32 regardless of the compute
+dtype, and callers can wrap training in the NaN-guard from
+:mod:`sleepgen.train.guards`.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def fft_amplitude(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """|FFT(x)| with ortho normalization, computed in float32."""
+    xf = jnp.fft.fft(x.astype(jnp.float32), axis=axis, norm="ortho")
+    return jnp.sqrt(jnp.real(xf) ** 2 + jnp.imag(xf) ** 2)
+
+
+def jukebox_loss(
+    recon: jnp.ndarray,
+    target: jnp.ndarray,
+    axis: int = -2,
+    reduction: str = "sum",
+) -> jnp.ndarray:
+    """Spectral L2 between FFT magnitudes.
+
+    ``axis`` is the spatial (time) axis; sleepgen's canonical layout is
+    (B, L, C) so the default is -2 (the reference's (B, C, L) uses -1).
+    """
+    amp_r = fft_amplitude(recon, axis=axis)
+    amp_t = fft_amplitude(target, axis=axis)
+    sq = (amp_t - amp_r) ** 2
+    if reduction == "sum":
+        return jnp.sum(sq)
+    if reduction == "mean":
+        return jnp.mean(sq)
+    raise ValueError(reduction)

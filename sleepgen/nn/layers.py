@@ -1,0 +1,147 @@
+"""Shared building blocks for sleepgen networks (flax.linen, NLC layout).
+
+Every module here operates on (batch, length, channels) tensors — the
+TPU-friendly channels-last layout that lets XLA tile 1-D convolutions onto
+the MXU directly. The reference uses torch's (B, C, L); conversion happens
+only at I/O boundaries (see sleepgen.data.transforms.to_ncl/from_ncl).
+
+Mixed precision policy: parameters live in float32; modules take a
+``dtype`` compute dtype (bfloat16 on TPU). Normalizations and softmax
+always run in float32 — on TPU these are VPU ops and fp32 there costs
+little while protecting the numerics the reference found fragile
+(README.md:18, spectral-loss explosions).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def conv1d(
+    features: int,
+    kernel: int = 3,
+    stride: int = 1,
+    padding="SAME",
+    use_bias: bool = True,
+    dtype: Dtype = jnp.float32,
+    name: str | None = None,
+    zero_init: bool = False,
+) -> nn.Conv:
+    """1-D convolution on (B, L, C)."""
+    kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel,),
+        strides=(stride,),
+        padding=padding,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=kernel_init,
+        name=name,
+    )
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in float32 regardless of compute dtype.
+
+    Parity: reference ``Normalize`` (GroupNorm eps=1e-6) at
+    ``src/models/unet.py:71-74`` and MONAI AutoencoderKL's
+    norm_num_groups GroupNorms.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig = x.dtype
+        y = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(orig)
+
+
+def nearest_upsample_1d(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Nearest-neighbor upsample along L for (B, L, C)."""
+    return jnp.repeat(x, factor, axis=1)
+
+
+def avg_pool_1d(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
+    """Average pool along L for (B, L, C)."""
+    return nn.avg_pool(x, window_shape=(window,), strides=(stride,), padding="VALID")
+
+
+def timestep_embedding(
+    t: jnp.ndarray, dim: int, max_period: float = 10000.0
+) -> jnp.ndarray:
+    """Sinusoidal timestep embeddings, [cos | sin] ordering.
+
+    Parity: reference ``src/models/unet.py:12-36`` (cos first, then sin;
+    zero-pad if dim is odd). Computed in float32.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class SelfAttention1d(nn.Module):
+    """Full self-attention over the length axis of (B, L, C).
+
+    Single qkv 1x1 projection, per-head scaling by 1/sqrt(sqrt(d)) applied
+    to both q and k, softmax in float32, zero-initialized output
+    projection — parity with ``QKVAttentionLegacy``/``AttentionBlock``
+    (reference ``src/models/unet.py:97-174``). Residual is added by the
+    caller's wrapper when needed.
+    """
+
+    num_heads: int = 1
+    dtype: Dtype = jnp.float32
+    zero_out: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, l, c = x.shape
+        h = self.num_heads
+        assert c % h == 0, f"channels {c} not divisible by heads {h}"
+        d = c // h
+        qkv = conv1d(3 * c, kernel=1, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, l, h, 3 * d)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(d, jnp.float32)))
+        q = q.astype(jnp.float32) * scale
+        k = k.astype(jnp.float32) * scale
+        logits = jnp.einsum("bihd,bjhd->bhij", q, k)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bjhd->bihd", weights, v.astype(self.dtype))
+        out = out.reshape(b, l, c)
+        return conv1d(c, kernel=1, dtype=self.dtype, name="proj_out",
+                      zero_init=self.zero_out)(out)
+
+
+class AttentionBlock1d(nn.Module):
+    """norm -> attention -> residual add (reference unet.py:132-174)."""
+
+    num_heads: int = 1
+    num_groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = GroupNorm32(self.num_groups)(x)
+        h = SelfAttention1d(num_heads=self.num_heads, dtype=self.dtype)(h)
+        return x + h
