@@ -1,0 +1,84 @@
+"""sleepgen benchmark — headline: LDM sampling throughput (windows/sec).
+
+Workload parity with the reference's north-star path
+(``src/sample_trials.py:149-163``): 200-step DDIM in a (768, latent=1)
+latent space with the full UNet (model_channels 128, channel_mult [1,2,4])
+followed by the stage-1 AEKL [32,32,64] decode and border crop — i.e. the
+cost of producing one 30 s synthetic EEG window end-to-end.
+
+The reference publishes no wall-clock numbers (BASELINE.md); the baseline
+constant below is the measured-order estimate for the reference's batch-1
+PyTorch/MONAI loop on A100 documented in BASELINE.md ("Measured baseline"
+section). vs_baseline = ours / that estimate.
+
+Prints ONE JSON line:
+  {"metric": "ldm_sample_windows_per_sec", "value": N, "unit": "windows/s",
+   "vs_baseline": R}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sleepgen.config import Config
+from sleepgen.sample.sample_ldm import make_ldm_sampler, sampling_schedule
+from sleepgen.train.train_aekl import build_models
+from sleepgen.train.train_ldm import build_unet
+
+# Estimated reference throughput (A100, batch-1 DDIM-200 loop, PyTorch +
+# MONAI): see BASELINE.md "Measured baseline" for the derivation.
+REFERENCE_WINDOWS_PER_SEC = 2.0
+
+BATCH = 128
+STEPS = 200
+LATENT_LEN = 768
+LATENT_CH = 1
+
+
+def main():
+    cfg = Config()
+    cfg.aekl.num_channels = [32, 32, 64]
+    cfg.aekl.latent_channels = LATENT_CH
+    cfg.unet.image_size = LATENT_LEN
+    cfg.diffusion.num_inference_steps = STEPS
+
+    dtype = jnp.bfloat16
+    ae, _ = build_models(cfg, dtype)
+    unet = build_unet(cfg, LATENT_CH, LATENT_CH, dtype)
+    sched = sampling_schedule(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, LATENT_LEN * 4, 1), dtype)
+    ae_params = ae.init({"params": rng}, x, rng)["params"]
+    z0 = jnp.zeros((2, LATENT_LEN, LATENT_CH), dtype)
+    unet_params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+
+    sampler = make_ldm_sampler(unet, ae, sched, LATENT_LEN, LATENT_CH, STEPS)
+    sf = jnp.float32(1.0)
+    seeds = jnp.arange(BATCH)
+
+    # compile + warmup
+    out = sampler(unet_params, ae_params, sf, rng, seeds)
+    out.block_until_ready()
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sampler(unet_params, ae_params, sf, jax.random.fold_in(rng, i), seeds)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    windows_per_sec = BATCH * n_iters / dt
+    print(json.dumps({
+        "metric": "ldm_sample_windows_per_sec",
+        "value": round(windows_per_sec, 2),
+        "unit": "windows/s",
+        "vs_baseline": round(windows_per_sec / REFERENCE_WINDOWS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""CLI: generate synthetic EEG trials from a trained LDM
+(reference ``src/sample_trials.py`` — per-seed DDIM sampling + artifacts).
+
+The batch_size flag is the TPU upgrade: the reference runs batch 1 per
+seed; sleepgen runs hundreds of seeds per device step.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--best_model_path", type=str, required=True,
+                   help="AEKL run dir")
+    p.add_argument("--diffusion_path", type=str, required=True,
+                   help="LDM run dir")
+    p.add_argument("--start_seed", type=int, default=0)
+    p.add_argument("--stop_seed", type=int, default=1000)
+    p.add_argument("--num_inference_steps", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--spe", type=str, default="no-spectral")
+    p.add_argument("--latent_channels", type=int, default=None)
+    p.add_argument("--type_dataset", type=str, default="")
+    p.add_argument("--no_psd", action="store_true")
+    return p
+
+
+def main(argv=None):
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from sleepgen.config import Config
+    from sleepgen.sample.sample_ldm import sample_ldm_trials
+    from sleepgen.train.train_aekl import init_state
+    from sleepgen.train.train_ldm import build_unet
+    from sleepgen.utils import CheckpointManager
+
+    args = build_parser().parse_args(argv)
+    # read train-time configs from the run dirs (no re-stated channels)
+    aekl_cfg = Config.from_yaml(Path(args.best_model_path) / "config.yaml")
+    cfg = Config.from_yaml(Path(args.diffusion_path) / "config.yaml")
+    if args.latent_channels is not None:
+        aekl_cfg.aekl.latent_channels = args.latent_channels
+    cfg.diffusion.num_inference_steps = args.num_inference_steps
+
+    state0, *_ = init_state(aekl_cfg, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(args.best_model_path)
+    stage1_params = ckpt.restore_best(jax.device_get(state0.params_g))
+    ckpt.close()
+
+    lc = aekl_cfg.aekl.latent_channels
+    unet = build_unet(cfg, lc, lc, jnp.float32)
+    z0 = jnp.zeros((2, cfg.unet.image_size, lc))
+    template = {
+        "params": jax.device_get(
+            unet.init(jax.random.PRNGKey(0), z0, jnp.zeros((2,), jnp.int32))["params"]),
+        "scale_factor": jnp.float32(1.0),
+    }
+    ckpt2 = CheckpointManager(args.diffusion_path)
+    best = ckpt2.restore_best(template)
+    ckpt2.close()
+
+    out = Path(args.output_dir) / (
+        f"samples_ldm_{lc}_{args.spe}_{args.type_dataset}")
+    sigs = sample_ldm_trials(
+        cfg, best["params"], stage1_params, float(best["scale_factor"]), out,
+        start_seed=args.start_seed, stop_seed=args.stop_seed,
+        batch_size=args.batch_size, aekl_cfg=aekl_cfg,
+        compute_psd=not args.no_psd)
+    print(f"wrote {sigs.shape[0]} samples to {out}")
+
+
+if __name__ == "__main__":
+    main()

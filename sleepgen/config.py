@@ -1,0 +1,203 @@
+"""One dataclass config tree (SURVEY.md §5: "one dataclass config tree;
+eval reads the train config from the run dir instead of re-stating it").
+
+Loads the reference's YAML schema directly (``config/config_aekl_eeg.yaml``,
+``config_ldm.yaml``, ``config_dm.yaml``) so published configs work
+unchanged, and serializes itself into the run dir as ``config.yaml`` so
+samplers/eval never re-hardcode channels (the reference re-states
+[32,32,64] in sample_trials.py:97 and compute_mmds.py:467 — designed away).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional
+
+import yaml
+
+
+@dataclass
+class TrainConfig:
+    seed: int = 2
+    batch_size: int = 16
+    n_epochs: int = 100
+    val_interval: int = 10  # AEKL name; LDM/DM call it eval_freq
+    num_workers: int = 0
+    drop_last: bool = False
+    base_path: str = "data/sleep-edfx"
+    output_dir: str = "outputs"
+    run_dir: str = "run"
+    experiment: str = "AEKL"
+    base_lr: float = 1e-4
+    save_every: int = 50
+
+
+@dataclass
+class AEKLModelConfig:
+    spatial_dims: int = 1
+    in_channels: int = 1
+    out_channels: int = 1
+    num_channels: List[int] = field(default_factory=lambda: [32, 32, 64])
+    latent_channels: int = 1
+    num_res_blocks: int = 2
+    norm_num_groups: int = 1
+    attention_levels: List[bool] = field(default_factory=lambda: [False, False, False])
+    with_encoder_nonlocal_attn: bool = False
+    with_decoder_nonlocal_attn: bool = False
+
+
+@dataclass
+class DiscriminatorConfig:
+    spatial_dims: int = 1
+    num_layers_d: int = 3
+    num_channels: int = 64
+    in_channels: int = 1
+    out_channels: int = 1
+    kernel_size: int = 3
+    norm: str = "BATCH"
+    bias: bool = False
+    padding: int = 1
+
+
+@dataclass
+class LossConfig:
+    optimizer_g_lr: float = 5e-3
+    optimizer_d_lr: float = 5e-4
+    adv_weight: float = 0.01
+    kl_weight: float = 1e-9
+    spectral_weight: float = 1e4
+
+
+@dataclass
+class UNetConfig:
+    image_size: int = 768
+    in_channels: int = 1
+    out_channels: int = 1
+    model_channels: int = 128
+    attention_resolutions: List[int] = field(default_factory=lambda: [8, 4])
+    num_res_blocks: int = 2
+    channel_mult: List[int] = field(default_factory=lambda: [1, 2, 4])
+    dropout: float = 0.0
+    conv_resample: bool = True
+    num_heads: int = 1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = True
+    norm_num_groups: int = 32
+
+
+@dataclass
+class DiffusionConfig:
+    timesteps: int = 1000
+    beta_schedule: str = "linear_beta"  # training schedule (train_ldm.py:199)
+    linear_start: float = 0.0015
+    linear_end: float = 0.0195
+    prediction_type: str = "epsilon"
+    # DDIM sampling schedule (sample_trials.py:136-145) — intentionally
+    # different from training (reference quirk, load-bearing for its FID):
+    sample_schedule: str = "scaled_linear_beta"
+    sample_beta_start: float = 0.0015
+    sample_beta_end: float = 0.0205
+    sample_prediction_type: str = "v_prediction"
+    num_inference_steps: int = 200
+
+
+@dataclass
+class Config:
+    train: TrainConfig = field(default_factory=TrainConfig)
+    losses: LossConfig = field(default_factory=LossConfig)
+    aekl: AEKLModelConfig = field(default_factory=AEKLModelConfig)
+    discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
+    unet: UNetConfig = field(default_factory=UNetConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    spectral: bool = False  # --spe spectral flag
+    dataset: str = "edfx"
+    dtype: str = "bfloat16"  # compute dtype on TPU
+
+    # -- I/O ------------------------------------------------------------------
+    def to_yaml(self, path: str | Path) -> None:
+        Path(path).write_text(yaml.safe_dump(dataclasses.asdict(self)))
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "Config":
+        raw = yaml.safe_load(Path(path).read_text())
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "Config":
+        if "autoencoderkl" in raw or "model" in raw:
+            return cls._from_reference_schema(raw)
+        cfg = cls()
+        for f in dataclasses.fields(cls):
+            if f.name in raw:
+                sub = raw[f.name]
+                if dataclasses.is_dataclass(f.type) or f.name in (
+                    "train", "losses", "aekl", "discriminator", "unet", "diffusion"
+                ):
+                    default = getattr(cfg, f.name)
+                    known = {x.name for x in dataclasses.fields(default)}
+                    setattr(cfg, f.name, dataclasses.replace(
+                        default, **{k: v for k, v in sub.items() if k in known}))
+                else:
+                    setattr(cfg, f.name, sub)
+        return cfg
+
+    @classmethod
+    def _from_reference_schema(cls, raw: dict) -> "Config":
+        """Read the reference repo's YAML files unchanged."""
+        cfg = cls()
+        tr = dict(raw.get("train", {}))
+        tr.setdefault("val_interval", tr.pop("eval_freq", cfg.train.val_interval))
+        known = {f.name for f in dataclasses.fields(TrainConfig)}
+        cfg.train = dataclasses.replace(
+            cfg.train, **{k: v for k, v in tr.items() if k in known})
+        if "models" in raw:
+            known = {f.name for f in dataclasses.fields(LossConfig)}
+            cfg.losses = dataclasses.replace(
+                cfg.losses, **{k: v for k, v in raw["models"].items() if k in known})
+        if "autoencoderkl" in raw:
+            p = raw["autoencoderkl"].get("params", {})
+            known = {f.name for f in dataclasses.fields(AEKLModelConfig)}
+            cfg.aekl = dataclasses.replace(
+                cfg.aekl, **{k: v for k, v in p.items() if k in known})
+        if "patchdiscriminator" in raw:
+            p = raw["patchdiscriminator"].get("params", {})
+            known = {f.name for f in dataclasses.fields(DiscriminatorConfig)}
+            cfg.discriminator = dataclasses.replace(
+                cfg.discriminator, **{k: v for k, v in p.items() if k in known})
+        model = raw.get("model", {}).get("params", {})
+        if model:
+            cfg.diffusion = dataclasses.replace(
+                cfg.diffusion,
+                timesteps=model.get("timesteps", 1000),
+                # the reference's "linear" (ldm.py make_beta_schedule) is a
+                # plain-linspace for MONAI DDPMScheduler at train time
+                beta_schedule="linear_beta",
+                linear_start=model.get("linear_start", 0.0015),
+                linear_end=model.get("linear_end", 0.0195),
+                prediction_type="epsilon"
+                if model.get("parameterization", "eps") == "eps" else "sample",
+            )
+            up = model.get("unet_config", {}).get("params", {})
+            known = {f.name for f in dataclasses.fields(UNetConfig)}
+            cfg.unet = dataclasses.replace(
+                cfg.unet, **{k: v for k, v in up.items() if k in known})
+        uroot = raw.get("unet", {}).get("params", {})
+        if uroot:
+            known = {f.name for f in dataclasses.fields(UNetConfig)}
+            cfg.unet = dataclasses.replace(
+                cfg.unet, **{k: v for k, v in uroot.items() if k in known})
+        return cfg
+
+
+def load_config(path: str | Path, **overrides) -> Config:
+    cfg = Config.from_yaml(path)
+    for k, v in overrides.items():
+        if v is None:
+            continue
+        obj = cfg
+        *parents, leaf = k.split(".")
+        for p in parents:
+            obj = getattr(obj, p)
+        setattr(obj, leaf, v)
+    return cfg

@@ -1,0 +1,110 @@
+"""SleepStagerChambon2018 + time-distributed sequence head.
+
+Parity target: braindecode's ``SleepStagerChambon2018`` as configured by
+``src/testing/run_sleep_decode.py:174-190``: apply_batch_norm=True,
+dropout 0.9, pad_size_s 0.1, return_feats -> a ``TimeDistributed``
+3-window wrapper with a flatten/dropout(0.5)/linear head. Chambon et al.
+2018 architecture: optional spatial (cross-channel) conv, then two
+[conv(k=0.5 s) -> BN -> ReLU -> maxpool(0.125 s)] stages, features
+flattened.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sleepgen.nn.layers import Dtype, conv1d
+
+
+class ChambonFeatureExtractor(nn.Module):
+    n_chans: int = 1
+    sfreq: float = 100.0
+    n_conv_chs: int = 8
+    time_conv_size_s: float = 0.5
+    max_pool_size_s: float = 0.125
+    pad_size_s: float = 0.1
+    apply_batch_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x: (B, T, C) -> flattened features (B, F)."""
+        k = int(np.ceil(self.time_conv_size_s * self.sfreq))
+        pool = max(1, int(np.ceil(self.max_pool_size_s * self.sfreq)))
+        pad = int(np.ceil(self.pad_size_s * self.sfreq))
+
+        h = x.astype(self.dtype)
+        if self.n_chans > 1:
+            # spatial conv: mix channels into n_chans virtual channels
+            h = nn.Dense(self.n_chans, dtype=self.dtype, name="spatial")(h)
+
+        def bn(name):
+            return (nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32, name=name)
+                    if self.apply_batch_norm else (lambda y: y))
+
+        h = conv1d(self.n_conv_chs, k, padding=[(pad, pad)], dtype=self.dtype,
+                   name="conv1")(h)
+        h = bn("bn1")(h) if self.apply_batch_norm else h
+        h = nn.relu(h)
+        h = nn.max_pool(h, (pool,), strides=(pool,), padding="VALID")
+        h = conv1d(self.n_conv_chs, k, padding=[(pad, pad)], dtype=self.dtype,
+                   name="conv2")(h)
+        h = bn("bn2")(h) if self.apply_batch_norm else h
+        h = nn.relu(h)
+        h = nn.max_pool(h, (pool,), strides=(pool,), padding="VALID")
+        return h.reshape(h.shape[0], -1)
+
+
+class SleepStagerChambon2018(nn.Module):
+    """Single-window stager: features -> dropout -> linear."""
+
+    n_chans: int = 1
+    sfreq: float = 100.0
+    n_outputs: int = 5
+    dropout: float = 0.25
+    apply_batch_norm: bool = False
+    pad_size_s: float = 0.25
+    return_feats: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        feats = ChambonFeatureExtractor(
+            n_chans=self.n_chans, sfreq=self.sfreq,
+            pad_size_s=self.pad_size_s,
+            apply_batch_norm=self.apply_batch_norm, dtype=self.dtype,
+            name="feature_extractor")(x, train)
+        if self.return_feats:
+            return feats
+        h = nn.Dropout(self.dropout, deterministic=not train)(feats)
+        return nn.Dense(self.n_outputs, dtype=self.dtype, name="fc")(h)
+
+
+class TimeDistributedStager(nn.Module):
+    """Sequence model: per-window Chambon features (shared params),
+    concatenated, dropout(0.5), linear -> n_outputs
+    (run_sleep_decode.py:184-190)."""
+
+    n_chans: int = 1
+    sfreq: float = 100.0
+    n_outputs: int = 5
+    n_windows: int = 3
+    feat_dropout: float = 0.9
+    head_dropout: float = 0.5
+    pad_size_s: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x: (B, n_windows, T, C) -> logits (B, n_outputs)."""
+        b, s, t, c = x.shape
+        assert s == self.n_windows
+        extractor = ChambonFeatureExtractor(
+            n_chans=self.n_chans, sfreq=self.sfreq, pad_size_s=self.pad_size_s,
+            apply_batch_norm=True, dtype=self.dtype, name="feature_extractor")
+        feats = extractor(x.reshape(b * s, t, c), train)
+        feats = feats.reshape(b, -1)
+        feats = nn.Dropout(self.head_dropout, deterministic=not train)(feats)
+        return nn.Dense(self.n_outputs, dtype=self.dtype, name="head")(feats)

@@ -1,0 +1,184 @@
+"""1-D diffusion UNet (guided-diffusion lineage), TPU-native.
+
+Parity target: reference ``UNetModel`` (``src/models/unet.py:330-563``)
+with the LDM/DM configuration (``config/config_ldm.yaml:28-42``):
+image_size 768, model_channels 128, channel_mult [1,2,4],
+num_res_blocks 2, attention_resolutions [8,4] (=> attention at ds=4 and
+in the middle block), num_heads 1, resblock_updown True,
+use_scale_shift_norm False.
+
+Structure (parity by construction):
+  * sinusoidal timestep embedding (cos|sin) -> Dense(4*mc) -> SiLU -> Dense
+    (unet.py:12-36, 372-377)
+  * input column: conv_in; per level: num_res_blocks x [ResBlock (+Attn)];
+    a down ResBlock between levels (resblock_updown) (unet.py:382-436)
+  * middle: ResBlock, Attn, ResBlock (unet.py:439-457)
+  * output column: (num_res_blocks+1) x [ResBlock on skip-concat (+Attn)],
+    an up ResBlock at level boundaries (unet.py:460-499)
+  * out: GN -> SiLU -> zero-init conv (unet.py:501-505)
+
+Differences by design (documented, not accidental):
+  * channels-last (B, L, C) layout for MXU-friendly convs;
+  * the runtime skip-length crop hack (unet.py:541-553) is designed away:
+    lengths must divide by 2**(levels-1), which holds for 768 and 3072
+    (SURVEY.md §7 'hard parts'); asserted at trace time;
+  * dropout omitted from the graph when 0.0 (all reference configs use 0).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sleepgen.nn.layers import (
+    AttentionBlock1d,
+    Dtype,
+    GroupNorm32,
+    avg_pool_1d,
+    conv1d,
+    nearest_upsample_1d,
+    timestep_embedding,
+)
+
+
+class TimestepResBlock(nn.Module):
+    """ResBlock with additive (or scale-shift) timestep conditioning and
+    optional built-in up/down resampling (reference unet.py:227-327)."""
+
+    out_channels: int
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    num_groups: int = 32
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        out_ch = self.out_channels
+
+        h = GroupNorm32(self.num_groups)(x)
+        h = nn.silu(h)
+        if self.up:
+            h = nearest_upsample_1d(h)
+            x = nearest_upsample_1d(x)
+        elif self.down:
+            h = avg_pool_1d(h)
+            x = avg_pool_1d(x)
+        h = conv1d(out_ch, 3, dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(
+            2 * out_ch if self.use_scale_shift_norm else out_ch,
+            dtype=self.dtype, param_dtype=jnp.float32, name="emb_proj",
+        )(nn.silu(emb))
+        emb_out = emb_out[:, None, :]  # broadcast over L
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(self.num_groups)(h) * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = GroupNorm32(self.num_groups)(h)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = conv1d(out_ch, 3, dtype=self.dtype, zero_init=True, name="out_conv")(h)
+
+        if x.shape[-1] != out_ch:
+            x = conv1d(out_ch, 1, dtype=self.dtype, name="skip_conv")(x)
+        return x + h
+
+
+class UNet1d(nn.Module):
+    in_channels: int = 1
+    out_channels: int = 1
+    model_channels: int = 128
+    channel_mult: Sequence[int] = (1, 2, 4)
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (8, 4)
+    num_heads: int = 1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = True
+    conv_resample: bool = True
+    num_groups: int = 32
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        mc = self.model_channels
+        levels = len(self.channel_mult)
+        assert x.shape[1] % (2 ** (levels - 1)) == 0, (
+            f"length {x.shape[1]} must divide 2**{levels - 1}; the reference "
+            "needed a runtime crop hack here (unet.py:541-553) — we require "
+            "exact geometry instead")
+
+        t_emb = timestep_embedding(timesteps, mc)
+        emb = nn.Dense(4 * mc, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="time_dense_1")(t_emb.astype(self.dtype))
+        emb = nn.Dense(4 * mc, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="time_dense_2")(nn.silu(emb))
+
+        def res(h, e, out_ch, name, **kw):
+            return TimestepResBlock(
+                out_channels=out_ch,
+                use_scale_shift_norm=self.use_scale_shift_norm,
+                num_groups=self.num_groups,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=name,
+                **kw,
+            )(h, e, deterministic)
+
+        def attn(h, name):
+            return AttentionBlock1d(self.num_heads, self.num_groups,
+                                    self.dtype, name=name)(h)
+
+        h = conv1d(mc, 3, dtype=self.dtype, name="conv_in")(x.astype(self.dtype))
+        hs = [h]
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            for i in range(self.num_res_blocks):
+                h = res(h, emb, mult * mc, f"down_{level}_res_{i}")
+                if ds in self.attention_resolutions:
+                    h = attn(h, f"down_{level}_attn_{i}")
+                hs.append(h)
+            if level != levels - 1:
+                if self.resblock_updown:
+                    h = res(h, emb, h.shape[-1], f"down_{level}_downres", down=True)
+                else:
+                    h = conv1d(h.shape[-1], 3, stride=2, dtype=self.dtype,
+                               name=f"down_{level}_downconv")(h)
+                hs.append(h)
+                ds *= 2
+
+        h = res(h, emb, h.shape[-1], "mid_res_1")
+        h = attn(h, "mid_attn")
+        h = res(h, emb, h.shape[-1], "mid_res_2")
+
+        for level in reversed(range(levels)):
+            mult = self.channel_mult[level]
+            for i in range(self.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = res(h, emb, mult * mc, f"up_{level}_res_{i}")
+                if ds in self.attention_resolutions:
+                    h = attn(h, f"up_{level}_attn_{i}")
+                if level > 0 and i == self.num_res_blocks:
+                    if self.resblock_updown:
+                        h = res(h, emb, h.shape[-1], f"up_{level}_upres", up=True)
+                    else:
+                        h = nearest_upsample_1d(h)
+                        h = conv1d(h.shape[-1], 3, dtype=self.dtype,
+                                   name=f"up_{level}_upconv")(h)
+                    ds //= 2
+        assert not hs, "skip stack imbalance"
+
+        h = GroupNorm32(self.num_groups)(h)
+        h = nn.silu(h)
+        out = conv1d(self.out_channels, 3, dtype=self.dtype, zero_init=True,
+                     name="conv_out")(h)
+        return out.astype(jnp.float32)

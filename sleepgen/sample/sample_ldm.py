@@ -1,0 +1,147 @@
+"""LDM/DM sampling drivers with the reference artifact contract.
+
+Artifacts (parity with ``src/sample_trials.py:166-197``):
+  * ``sample_{i}.npy``   — (1, 1, 3000) cropped signal, reference layout
+  * ``psd_list_{i}.npy`` — [psds, freqs, psds_mean] Welch PSD (fmax 18)
+  * ``psd_list.npy``     — stacked per-seed PSD summaries
+
+Throughput design: seeds are processed in device-sized batches; each batch
+runs noise -> 200-step DDIM scan -> stage-1 decode -> crop in ONE jit.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleepgen.config import Config
+from sleepgen.data.transforms import BORDER_PAD, to_bcl
+from sleepgen.diffusion import NoiseSchedule
+from sleepgen.nn import AutoencoderKL, UNet1d
+from sleepgen.sample.samplers import ddim_sample_loop, ddpm_sample_loop, seed_noise
+
+
+def sampling_schedule(cfg: Config) -> NoiseSchedule:
+    d = cfg.diffusion
+    return NoiseSchedule.create(
+        d.sample_schedule, d.timesteps, d.sample_beta_start, d.sample_beta_end,
+        prediction_type=d.sample_prediction_type,
+    )
+
+
+def make_ldm_sampler(
+    unet: UNet1d,
+    ae: AutoencoderKL,
+    sched: NoiseSchedule,
+    latent_len: int = 768,
+    latent_channels: int = 1,
+    num_inference_steps: int = 200,
+    border_pad: int = BORDER_PAD,
+):
+    """Returns jitted (unet_params, ae_params, scale_factor, base_key, seeds)
+    -> (B, 3000, 1) signals."""
+
+    @jax.jit
+    def sample(unet_params, ae_params, scale_factor, base_key, seeds):
+        x_T = seed_noise(base_key, seeds, (latent_len, latent_channels))
+
+        def model_fn(x, t):
+            return unet.apply({"params": unet_params}, x, t)
+
+        z = ddim_sample_loop(model_fn, sched, x_T, num_inference_steps)
+        signal = ae.apply({"params": ae_params}, z / scale_factor,
+                          method=AutoencoderKL.decode_stage_2_outputs)
+        return signal.astype(jnp.float32)[:, border_pad:-border_pad, :]
+
+    return sample
+
+
+def make_dm_sampler(unet: UNet1d, sched: NoiseSchedule, signal_len: int = 3072,
+                    border_pad: int = BORDER_PAD):
+    @jax.jit
+    def sample(unet_params, base_key, seeds, loop_key):
+        x_T = seed_noise(base_key, seeds, (signal_len, 1))
+
+        def model_fn(x, t):
+            return unet.apply({"params": unet_params}, x, t)
+
+        x = ddpm_sample_loop(model_fn, sched, x_T, loop_key, clip_sample=True)
+        return x.astype(jnp.float32)[:, border_pad:-border_pad, :]
+
+    return sample
+
+
+def write_sample_artifacts(
+    output_dir: str | Path,
+    seeds: Sequence[int],
+    signals_blc: np.ndarray,
+    compute_psd: bool = True,
+) -> None:
+    """Write per-seed npy artifacts in the reference layout."""
+    from sleepgen.eval.psd import welch_psd_db
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    psd_list = []
+    signals_ncl = to_bcl(signals_blc)  # (B, 1, 3000)
+    for i, seed in enumerate(seeds):
+        np.save(output_dir / f"sample_{seed}.npy", signals_ncl[i : i + 1])
+        if compute_psd:
+            psds, freqs = welch_psd_db(signals_ncl[i], fmax=18.0)
+            psds_mean = psds.mean(axis=0)
+            save_info = [psds, freqs, psds_mean]
+            np.save(output_dir / f"psd_list_{seed}.npy",
+                    np.asarray(save_info, dtype=object), allow_pickle=True)
+            psd_list.append(save_info)
+    if compute_psd and psd_list:
+        np.save(output_dir / "psd_list.npy",
+                np.asarray(psd_list, dtype=object), allow_pickle=True)
+
+
+def sample_ldm_trials(
+    cfg: Config,
+    unet_params,
+    ae_params,
+    scale_factor: float,
+    output_dir: str | Path,
+    start_seed: int = 0,
+    stop_seed: int = 1000,
+    batch_size: int = 256,
+    aekl_cfg: Optional[Config] = None,
+    base_key: Optional[jax.Array] = None,
+    compute_psd: bool = True,
+    border_pad: int = BORDER_PAD,
+) -> np.ndarray:
+    """Generate samples for seeds [start_seed, stop_seed) in device batches.
+    Returns all cropped signals (N, 3000, 1)."""
+    from sleepgen.train.train_aekl import build_models
+    from sleepgen.train.train_ldm import build_unet
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    aekl_cfg = aekl_cfg or cfg
+    lc = aekl_cfg.aekl.latent_channels
+    ae, _ = build_models(aekl_cfg, dtype)
+    unet = build_unet(cfg, lc, lc, dtype)
+    sched = sampling_schedule(cfg)
+    sampler = make_ldm_sampler(unet, ae, sched, latent_len=cfg.unet.image_size,
+                               latent_channels=lc,
+                               num_inference_steps=cfg.diffusion.num_inference_steps,
+                               border_pad=border_pad)
+    base_key = base_key if base_key is not None else jax.random.PRNGKey(0)
+    sf = jnp.asarray(scale_factor, jnp.float32)
+
+    all_seeds = np.arange(start_seed, stop_seed)
+    outs = []
+    for i in range(0, len(all_seeds), batch_size):
+        seeds = all_seeds[i : i + batch_size]
+        # pad to full batch so every device step reuses one compiled shape
+        padded = np.concatenate([seeds, np.full(batch_size - len(seeds), seeds[-1])]) \
+            if len(seeds) < batch_size else seeds
+        sig = sampler(unet_params, ae_params, sf, base_key, jnp.asarray(padded))
+        sig = np.asarray(jax.device_get(sig))[: len(seeds)]
+        write_sample_artifacts(output_dir, seeds.tolist(), sig, compute_psd)
+        outs.append(sig)
+    return np.concatenate(outs, axis=0)

@@ -1,0 +1,85 @@
+"""Batched diffusion sampling — the north-star throughput path.
+
+Parity target: reference ``src/sample_trials.py:86-197`` (LDM: per-seed
+batch-1, 200 DDIM steps, decode, crop [36:-36], save ``sample_i.npy`` and
+``psd_list_i.npy``) and ``src/sample_trials_ddpm.py:59-128`` (DM in signal
+space via DiffusionInferer.sample).
+
+TPU re-design (SURVEY.md §3.3): seeds become a batch dimension — each
+seed i gets its own PRNG stream (fold_in), the 200 DDIM steps run as one
+``lax.scan`` with no host sync, and the stage-1 decode happens inside the
+same jit. bf16 UNet compute, fp32 schedule math. One device step emits
+hundreds of windows instead of the reference's one-per-loop.
+
+The per-seed determinism contract of the reference
+(``set_determinism(seed=i)`` at sample_trials.py:150) maps to
+``noise_i = normal(fold_in(base_key, i))`` — deterministic per seed and
+independent of batching.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleepgen.diffusion import NoiseSchedule, ddim_step, ddim_timesteps, ddpm_step
+
+
+def seed_noise(base_key: jax.Array, seeds: jnp.ndarray, shape: Tuple[int, ...]) -> jnp.ndarray:
+    """Per-seed initial noise: vmapped fold_in keeps the per-seed contract
+    under any batch split."""
+    def one(seed):
+        return jax.random.normal(jax.random.fold_in(base_key, seed), shape, jnp.float32)
+
+    return jax.vmap(one)(seeds)
+
+
+def ddim_sample_loop(
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    sched: NoiseSchedule,
+    x_T: jnp.ndarray,
+    num_inference_steps: int = 200,
+    eta: float = 0.0,
+) -> jnp.ndarray:
+    """Full DDIM reverse process as one lax.scan (jit-safe, donation-safe)."""
+    ts = jnp.asarray(ddim_timesteps(sched.num_timesteps, num_inference_steps))
+    ratio = sched.num_timesteps // num_inference_steps
+    ts_prev = ts - ratio
+
+    def body(x, tp):
+        t, t_prev = tp
+        t_b = jnp.full((x.shape[0],), t, jnp.int32)
+        out = model_fn(x, t_b)
+        x, _ = ddim_step(sched, out.astype(jnp.float32), t, t_prev, x, eta=eta)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x_T, (ts, ts_prev))
+    return x
+
+
+def ddpm_sample_loop(
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    sched: NoiseSchedule,
+    x_T: jnp.ndarray,
+    rng: jax.Array,
+    clip_sample: bool = True,
+) -> jnp.ndarray:
+    """Full ancestral DDPM loop (DiffusionInferer.sample parity; used by the
+    in-training sampler util.py:226-285 and sample_trials_ddpm.py)."""
+    ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+
+    def body(carry, t):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        t_b = jnp.full((x.shape[0],), t, jnp.int32)
+        out = model_fn(x, t_b)
+        noise = jax.random.normal(sub, x.shape, jnp.float32)
+        x, _ = ddpm_step(sched, out.astype(jnp.float32), t, x, noise,
+                         clip_sample=clip_sample)
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(body, (x_T, rng), ts)
+    return x

@@ -1,0 +1,133 @@
+"""Signal-space diffusion training (pure DM, no autoencoder).
+
+Parity target: reference ``src/train_pure_ldm.py:89-167`` +
+``src/training/training_diffusion.py:18-231``: the same UNet family runs
+directly on (B, 3072, 1) windows; optional Jukebox spectral loss between
+predicted and true noise with weight 1e-6
+(train_pure_ldm.py:158, training_diffusion.py:148-152).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sleepgen.config import Config
+from sleepgen.data.dataset import WindowDataset
+from sleepgen.losses import jukebox_loss
+from sleepgen.parallel import make_mesh, replicate, shard_batch
+from sleepgen.train.train_ldm import (
+    DiffusionState,
+    DiffusionTrainResult,
+    build_unet,
+    make_schedule,
+)
+from sleepgen.utils import CheckpointManager, MetricsLogger, setup_run_dir
+
+DM_SPECTRAL_WEIGHT = 1e-6  # train_pure_ldm.py:158
+
+
+def make_dm_train_step(unet, sched, opt, spectral: bool):
+    def train_step(state: DiffusionState, batch: jnp.ndarray, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        k_t, k_noise = jax.random.split(step_rng)
+        x = batch.astype(jnp.float32)
+        t = jax.random.randint(k_t, (x.shape[0],), 0, sched.num_timesteps)
+        noise = jax.random.normal(k_noise, x.shape, jnp.float32)
+        noisy = sched.add_noise(x, noise, t)
+        target = sched.velocity(x, noise, t) if sched.prediction_type == "v_prediction" else noise
+
+        def loss_fn(params):
+            pred = unet.apply({"params": params}, noisy, t).astype(jnp.float32)
+            mse = jnp.mean((pred - target) ** 2)
+            spec = jukebox_loss(pred, noise, axis=-2, reduction="sum")
+            loss = mse + (DM_SPECTRAL_WEIGHT * spec if spectral else 0.0)
+            return loss, {"mse": mse, "spec_loss": spec}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = opt.update(grads, state.opt, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params, opt=new_opt)
+        return new_state, {"loss": loss, **aux}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def train_dm(
+    cfg: Config,
+    train_ds: WindowDataset,
+    valid_ds: WindowDataset,
+    run_name: Optional[str] = None,
+    mesh=None,
+) -> DiffusionTrainResult:
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    mesh = mesh or make_mesh()
+    run_name = run_name or (
+        f"dm_eeg_{'spectral' if cfg.spectral else 'no-spectral'}_{cfg.dataset}")
+    run_dir, resume = setup_run_dir(cfg.train.output_dir, run_name)
+    cfg.to_yaml(run_dir / "config.yaml")
+    logger_t = MetricsLogger(run_dir, "train")
+    logger_v = MetricsLogger(run_dir, "val")
+    ckpt = CheckpointManager(run_dir)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    sched = make_schedule(cfg)
+    unet = build_unet(cfg, 1, 1, dtype)
+
+    window = train_ds.padded_window
+    params = unet.init(rng, jnp.zeros((2, window, 1), jnp.float32),
+                       jnp.zeros((2,), jnp.int32))["params"]
+    opt = optax.adam(cfg.train.base_lr)
+    state = DiffusionState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt=opt.init(params),
+        best_loss=jnp.asarray(jnp.inf, jnp.float32),
+        scale_factor=jnp.asarray(1.0, jnp.float32),
+    )
+    if resume:
+        restored = ckpt.restore_latest(jax.device_get(state))
+        if restored is not None:
+            state = restored
+    state = replicate(mesh, state)
+
+    train_step = make_dm_train_step(unet, sched, opt, cfg.spectral)
+    np_rng = np.random.default_rng(cfg.train.seed)
+    n_dev = mesh.devices.size
+    best_loss = float(jax.device_get(state.best_loss))
+    stopped_on_nan = False
+    last_epoch = 0
+
+    for epoch in range(cfg.train.n_epochs):
+        last_epoch = epoch
+        epoch_losses = []
+        for batch in train_ds.epoch_batches(
+            cfg.train.batch_size, np_rng, pad_multiple=n_dev
+        ):
+            dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
+            state, metrics = train_step(state, dev_batch, rng)
+            epoch_losses.append(metrics["loss"])
+        mean_loss = float(np.mean([jax.device_get(l) for l in epoch_losses]))
+        logger_t.log(epoch, {"loss": mean_loss})
+        if not np.isfinite(mean_loss):
+            stopped_on_nan = True
+            break
+
+        if (epoch + 1) % cfg.train.val_interval == 0:
+            host_state = jax.device_get(state)
+            ckpt.save(int(host_state.step), host_state)
+            if mean_loss <= best_loss:
+                best_loss = mean_loss
+                ckpt.save_best({"params": host_state.params})
+
+    host_state = jax.device_get(state)
+    if not stopped_on_nan:
+        ckpt.save(int(host_state.step), host_state)
+    ckpt.save_best({"params": host_state.params}, name="final_model")
+    ckpt.close()
+    logger_t.close()
+    logger_v.close()
+    return DiffusionTrainResult(str(run_dir), best_loss, last_epoch, 1.0, stopped_on_nan)

@@ -1,0 +1,283 @@
+"""Stage-2 latent diffusion training.
+
+Parity target: reference ``src/train_ldm.py:107-238`` +
+``src/training/training.py:317-513``:
+  * frozen stage-1 encode (+ reparam sample) per batch
+    (Stage1Wrapper, training.py:15-26)
+  * ``scale_factor = 1/std(z)`` from the first train batch
+    (train_ldm.py:203-204)
+  * t ~ U[0, 1000); z_t = add_noise(z*sf, eps, t); MSE(model(z_t, t), eps)
+    (training.py:420-437; epsilon parameterization — the DDPMScheduler
+    default; velocity targets supported via cfg.diffusion.prediction_type)
+  * Adam 1e-4 (train_ldm.py:208), eval-first then eval every eval_freq.
+
+TPU re-design (SURVEY.md §3.2): encoder forward + noising + UNet fwd/bwd
+fused into one jitted step; frozen encoder runs under stop_gradient in the
+same XLA program so the latents never round-trip to HBM-host.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from sleepgen.config import Config
+from sleepgen.data.dataset import WindowDataset
+from sleepgen.diffusion import NoiseSchedule
+from sleepgen.nn import AutoencoderKL, UNet1d
+from sleepgen.parallel import make_mesh, replicate, shard_batch
+from sleepgen.utils import CheckpointManager, MetricsLogger, setup_run_dir
+
+
+@struct.dataclass
+class DiffusionState:
+    step: jnp.ndarray
+    params: Any
+    opt: Any
+    best_loss: jnp.ndarray
+    scale_factor: jnp.ndarray
+
+
+def build_unet(cfg: Config, in_channels: int, out_channels: int, dtype) -> UNet1d:
+    u = cfg.unet
+    return UNet1d(
+        in_channels=in_channels,
+        out_channels=out_channels,
+        model_channels=u.model_channels,
+        channel_mult=tuple(u.channel_mult),
+        num_res_blocks=u.num_res_blocks,
+        attention_resolutions=tuple(u.attention_resolutions),
+        num_heads=u.num_heads,
+        use_scale_shift_norm=u.use_scale_shift_norm,
+        resblock_updown=u.resblock_updown,
+        num_groups=u.norm_num_groups,
+        dropout=u.dropout,
+        dtype=dtype,
+    )
+
+
+def make_schedule(cfg: Config) -> NoiseSchedule:
+    d = cfg.diffusion
+    return NoiseSchedule.create(
+        d.beta_schedule, d.timesteps, d.linear_start, d.linear_end,
+        prediction_type=d.prediction_type,
+    )
+
+
+def compute_scale_factor(ae: AutoencoderKL, params_g, batch: jnp.ndarray,
+                         rng: jax.Array) -> jnp.ndarray:
+    """1 / std(encode_stage_2_inputs(first_batch)) — train_ldm.py:203-204."""
+    z = ae.apply({"params": params_g}, batch, rng,
+                 method=AutoencoderKL.encode_stage_2_inputs)
+    return (1.0 / jnp.std(z.astype(jnp.float32))).astype(jnp.float32)
+
+
+def make_ldm_train_step(unet: UNet1d, ae: AutoencoderKL, params_g,
+                        sched: NoiseSchedule, opt):
+    def train_step(state: DiffusionState, batch: jnp.ndarray, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        k_enc, k_t, k_noise = jax.random.split(step_rng, 3)
+
+        z = ae.apply({"params": params_g}, batch, k_enc,
+                     method=AutoencoderKL.encode_stage_2_inputs)
+        z = jax.lax.stop_gradient(z.astype(jnp.float32)) * state.scale_factor
+
+        t = jax.random.randint(k_t, (batch.shape[0],), 0, sched.num_timesteps)
+        noise = jax.random.normal(k_noise, z.shape, jnp.float32)
+        noisy = sched.add_noise(z, noise, t)
+        if sched.prediction_type == "v_prediction":
+            target = sched.velocity(z, noise, t)
+        else:
+            target = noise
+
+        def loss_fn(params):
+            pred = unet.apply({"params": params}, noisy, t)
+            return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = opt.update(grads, state.opt, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params, opt=new_opt)
+        return new_state, {"loss": loss}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_ldm_eval_step(unet: UNet1d, ae: AutoencoderKL, params_g, sched: NoiseSchedule):
+    @jax.jit
+    def eval_step(params, scale_factor, batch, rng):
+        k_enc, k_t, k_noise = jax.random.split(rng, 3)
+        z = ae.apply({"params": params_g}, batch, k_enc,
+                     method=AutoencoderKL.encode_stage_2_inputs)
+        z = z.astype(jnp.float32) * scale_factor
+        t = jax.random.randint(k_t, (batch.shape[0],), 0, sched.num_timesteps)
+        noise = jax.random.normal(k_noise, z.shape, jnp.float32)
+        noisy = sched.add_noise(z, noise, t)
+        target = sched.velocity(z, noise, t) if sched.prediction_type == "v_prediction" else noise
+        pred = unet.apply({"params": params}, noisy, t)
+        return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+    return eval_step
+
+
+@dataclass
+class DiffusionTrainResult:
+    run_dir: str
+    best_loss: float
+    last_epoch: int
+    scale_factor: float
+    stopped_on_nan: bool = False
+
+
+def train_ldm(
+    cfg: Config,
+    train_ds: WindowDataset,
+    valid_ds: WindowDataset,
+    stage1_params,
+    aekl_cfg: Optional[Config] = None,
+    run_name: Optional[str] = None,
+    mesh=None,
+) -> DiffusionTrainResult:
+    from sleepgen.train.train_aekl import build_models
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    mesh = mesh or make_mesh()
+    aekl_cfg = aekl_cfg or cfg
+    ae, _ = build_models(aekl_cfg, dtype)
+    latent_channels = aekl_cfg.aekl.latent_channels
+
+    run_name = run_name or (
+        f"ldm_eeg_{'spectral' if cfg.spectral else 'no-spectral'}_{cfg.dataset}")
+    run_dir, resume = setup_run_dir(cfg.train.output_dir, run_name)
+    cfg.to_yaml(run_dir / "config.yaml")
+    logger_t = MetricsLogger(run_dir, "train")
+    logger_v = MetricsLogger(run_dir, "val")
+    ckpt = CheckpointManager(run_dir)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    sched = make_schedule(cfg)
+    unet = build_unet(cfg, latent_channels, latent_channels, dtype)
+
+    np_rng = np.random.default_rng(cfg.train.seed)
+    n_dev = mesh.devices.size
+    first_batch = next(train_ds.epoch_batches(
+        cfg.train.batch_size, np_rng, pad_multiple=n_dev))
+    first_batch = shard_batch(mesh, jnp.asarray(first_batch, dtype))
+
+    stage1_params = replicate(mesh, stage1_params)
+    scale_factor = compute_scale_factor(ae, stage1_params, first_batch, rng)
+
+    latent_len = first_batch.shape[1] // 4
+    z0 = jnp.zeros((2, latent_len, latent_channels), jnp.float32)
+    params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+    opt = optax.adam(cfg.train.base_lr)
+    state = DiffusionState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt=opt.init(params),
+        best_loss=jnp.asarray(jnp.inf, jnp.float32),
+        scale_factor=scale_factor,
+    )
+    if resume:
+        restored = ckpt.restore_latest(jax.device_get(state))
+        if restored is not None:
+            state = restored
+    state = replicate(mesh, state)
+
+    train_step = make_ldm_train_step(unet, ae, stage1_params, sched, opt)
+    eval_step = make_ldm_eval_step(unet, ae, stage1_params, sched)
+
+    best_loss = float(jax.device_get(state.best_loss))
+    stopped_on_nan = False
+    last_epoch = 0
+
+    def run_eval(epoch, sample=False):
+        losses = []
+        for batch in valid_ds.epoch_batches(
+            cfg.train.batch_size, np_rng, shuffle=True, pad_multiple=n_dev
+        ):
+            dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
+            loss = eval_step(state.params, state.scale_factor, dev_batch, rng)
+            losses.append(float(jax.device_get(loss)))
+        val = float(np.mean(losses))
+        logger_v.log(epoch, {"loss": val})
+        if sample:
+            # in-training unconditioned sample, decoded with and without the
+            # scale factor (reference util.py:226-258)
+            _log_sample(epoch)
+        return val
+
+    def _log_sample(epoch):
+        from sleepgen.data.transforms import to_bcl
+        from sleepgen.sample.samplers import ddpm_sample_loop
+
+        @jax.jit
+        def draw(params, sf, key):
+            z_T = jax.random.normal(key, (1, latent_len, latent_channels))
+
+            def model_fn(x, t):
+                return unet.apply({"params": params}, x, t)
+
+            z = ddpm_sample_loop(model_fn, sched, z_T, key, clip_sample=False)
+            x_scaled = ae.apply({"params": stage1_params}, z / sf,
+                                method=AutoencoderKL.decode)
+            x_raw = ae.apply({"params": stage1_params}, z,
+                             method=AutoencoderKL.decode)
+            return x_scaled, x_raw
+
+        x_scaled, x_raw = draw(state.params, state.scale_factor,
+                               jax.random.fold_in(rng, epoch))
+        np.save(run_dir / f"sample_unconditioned_{epoch}.npy",
+                to_bcl(np.asarray(jax.device_get(x_scaled))))
+        np.save(run_dir / f"sample_noscale_unconditioned_{epoch}.npy",
+                to_bcl(np.asarray(jax.device_get(x_raw))))
+
+    run_eval(0)  # eval-first (training.py:337-348)
+
+    start_epoch = 0
+    for epoch in range(start_epoch, cfg.train.n_epochs):
+        last_epoch = epoch
+        epoch_losses = []
+        for batch in train_ds.epoch_batches(
+            cfg.train.batch_size, np_rng, pad_multiple=n_dev
+        ):
+            dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
+            state, metrics = train_step(state, dev_batch, rng)
+            epoch_losses.append(metrics["loss"])
+
+        mean_loss = float(np.mean([jax.device_get(l) for l in epoch_losses]))
+        logger_t.log(epoch, {"loss": mean_loss})
+        if not np.isfinite(mean_loss):
+            stopped_on_nan = True
+            break
+
+        if (epoch + 1) % cfg.train.val_interval == 0:
+            # sampling every 2x eval_freq (training.py:373)
+            val_loss = run_eval(
+                epoch, sample=(epoch + 1) % (cfg.train.val_interval * 2) == 0)
+            host_state = jax.device_get(state)
+            ckpt.save(int(host_state.step), host_state)
+            if val_loss <= best_loss:
+                best_loss = val_loss
+                state = state.replace(best_loss=jnp.asarray(best_loss))
+                ckpt.save_best(
+                    {"params": jax.device_get(state.params),
+                     "scale_factor": jax.device_get(state.scale_factor)})
+
+    host_state = jax.device_get(state)
+    if not stopped_on_nan:
+        ckpt.save(int(host_state.step), host_state)
+    ckpt.save_best(
+        {"params": host_state.params, "scale_factor": host_state.scale_factor},
+        name="final_model")
+    ckpt.close()
+    logger_t.close()
+    logger_v.close()
+    return DiffusionTrainResult(
+        str(run_dir), best_loss, last_epoch,
+        float(jax.device_get(state.scale_factor)), stopped_on_nan)

@@ -1,0 +1,134 @@
+"""EDF reader + ingest DSP tests (hermetic: the EDF file is synthesized)."""
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from sleepgen.data.edf import read_edf
+from sleepgen.data.ingest import (
+    crop_to_sleep_period,
+    lowpass_fir,
+    map_shhs_stages,
+    resample_fft,
+)
+
+
+def _write_edf(path: Path, signals, labels, sfreq, annotations=None):
+    """Minimal EDF+ writer for tests (independent of the reader)."""
+    n_sig = len(signals) + (1 if annotations else 0)
+    record_dur = 1.0
+    n_records = int(len(signals[0]) / sfreq)
+    ann_spr = 32  # 64 bytes per record for the annotation channel
+
+    def pad(s, n):
+        return s[:n].ljust(n).encode("ascii")
+
+    hdr = b"".join([
+        pad("0", 8), pad("test patient", 80), pad("test rec", 80),
+        pad("01.01.23", 8), pad("00.00.00", 8),
+        pad(str(256 * (1 + n_sig)), 8), pad("", 44),
+        pad(str(n_records), 8), pad(str(record_dur), 8), pad(str(n_sig), 4),
+    ])
+    all_labels = list(labels) + (["EDF Annotations"] if annotations else [])
+    sprs = [int(sfreq)] * len(signals) + ([ann_spr] if annotations else [])
+    pmins = [-250.0] * len(signals) + ([-1.0] if annotations else [])
+    pmaxs = [250.0] * len(signals) + ([1.0] if annotations else [])
+    dmins = [-2048] * len(signals) + ([-32768] if annotations else [])
+    dmaxs = [2047] * len(signals) + ([32767] if annotations else [])
+
+    sig_hdr = b"".join(pad(l, 16) for l in all_labels)
+    sig_hdr += b"".join(pad("", 80) for _ in range(n_sig))
+    sig_hdr += b"".join(pad("uV", 8) for _ in range(n_sig))
+    sig_hdr += b"".join(pad(str(v), 8) for v in pmins)
+    sig_hdr += b"".join(pad(str(v), 8) for v in pmaxs)
+    sig_hdr += b"".join(pad(str(v), 8) for v in dmins)
+    sig_hdr += b"".join(pad(str(v), 8) for v in dmaxs)
+    sig_hdr += b"".join(pad("", 80) for _ in range(n_sig))
+    sig_hdr += b"".join(pad(str(v), 8) for v in sprs)
+    sig_hdr += b"".join(pad("", 32) for _ in range(n_sig))
+
+    # digitize
+    dig = []
+    for s, pmin, pmax, dmin, dmax in zip(signals, pmins, pmaxs, dmins, dmaxs):
+        gain = (pmax - pmin) / (dmax - dmin)
+        dig.append(np.clip(np.round((s - pmin) / gain + dmin), dmin, dmax).astype("<i2"))
+
+    records = []
+    for r in range(n_records):
+        for d in dig:
+            records.append(d[r * int(sfreq):(r + 1) * int(sfreq)].tobytes())
+        if annotations:
+            tal = f"+{r}\x14\x14".encode()
+            if r == 0:
+                for onset, dur, text in annotations:
+                    tal += f"+{onset}\x15{dur}\x14{text}\x14".encode()
+            tal = tal.ljust(ann_spr * 2, b"\x00")[: ann_spr * 2]
+            records.append(tal)
+    path.write_bytes(hdr + sig_hdr + b"".join(records))
+
+
+def test_edf_roundtrip(tmp_path):
+    sfreq = 100
+    t = np.arange(10 * sfreq) / sfreq
+    sig1 = 100 * np.sin(2 * np.pi * 3 * t)  # uV scale
+    sig2 = 50 * np.cos(2 * np.pi * 7 * t)
+    anns = [(2.0, 30.0, "Sleep stage 2"), (5.0, 30.0, "Sleep stage R")]
+    p = tmp_path / "test.edf"
+    _write_edf(p, [sig1, sig2], ["EEG Fpz-Cz", "EEG Pz-Oz"], sfreq, anns)
+
+    edf = read_edf(p)
+    assert edf.labels == ["EEG Fpz-Cz", "EEG Pz-Oz"]
+    assert edf.sfreq(0) == 100.0
+    # quantization error bound: gain = 500/4095 ~ 0.12 uV
+    np.testing.assert_allclose(edf.get("EEG Fpz-Cz"), sig1, atol=0.13)
+    np.testing.assert_allclose(edf.get("EEG Pz-Oz"), sig2, atol=0.13)
+    texts = [a[2] for a in edf.annotations]
+    assert "Sleep stage 2" in texts and "Sleep stage R" in texts
+
+    # channel whitelist
+    only = read_edf(p, include=["EEG Pz-Oz"])
+    assert only.labels == ["EEG Pz-Oz"]
+
+
+def test_lowpass_fir_response():
+    sfreq = 100.0
+    t = np.arange(4000) / sfreq
+    lo = np.sin(2 * np.pi * 5 * t)
+    hi = np.sin(2 * np.pi * 35 * t)
+    y = lowpass_fir(lo + hi, h_freq=18.0, sfreq=sfreq)
+    assert len(y) == len(t)
+    mid = slice(500, 3500)
+    # 5 Hz passes (~unity), 35 Hz strongly attenuated
+    assert np.corrcoef(y[mid], lo[mid])[0, 1] > 0.99
+    resid = y[mid] - lo[mid]
+    assert np.std(resid) < 0.02 * np.std(hi)
+
+
+def test_resample_fft():
+    sfreq, target = 125.0, 100.0
+    t = np.arange(int(10 * sfreq)) / sfreq
+    x = np.sin(2 * np.pi * 4 * t)
+    y = resample_fft(x, sfreq, target)
+    assert len(y) == 1000
+    t2 = np.arange(1000) / target
+    want = np.sin(2 * np.pi * 4 * t2)
+    np.testing.assert_allclose(y[50:-50], want[50:-50], atol=5e-3)
+
+
+def test_crop_to_sleep_period():
+    sfreq = 100.0
+    x = np.arange(int(3 * 3600 * sfreq))  # 3 h
+    anns = [(0.0, 30.0, "Sleep stage W"),
+            (3600.0, 30.0, "Sleep stage 1"),
+            (5400.0, 30.0, "Sleep stage R"),
+            (9000.0, 30.0, "Sleep stage W")]
+    cropped, tmin = crop_to_sleep_period(x, sfreq, anns, crop_wake_mins=30.0)
+    assert tmin == 3600.0 - 1800.0
+    assert cropped[0] == int(tmin * sfreq)
+    # end = last sleep onset + 30 min
+    assert len(cropped) == int((5400 + 1800 - tmin) * sfreq) + 1
+
+
+def test_shhs_stage_map():
+    labels = np.array([0, 1, 2, 3, 4, 5])
+    np.testing.assert_array_equal(map_shhs_stages(labels), [0, 1, 2, 3, 3, 4])

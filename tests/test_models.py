@@ -1,0 +1,141 @@
+"""Model geometry + building-block parity tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from sleepgen.nn import AutoencoderKL, PatchDiscriminator, UNet1d, USleep
+from sleepgen.nn.layers import SelfAttention1d, GroupNorm32, timestep_embedding
+
+
+def test_aekl_latent_geometry():
+    """3072-sample window -> latent length 768 (SURVEY.md: two stride-2
+    downsamples), reconstruction back to 3072."""
+    model = AutoencoderKL(num_channels=(4, 4, 8), latent_channels=3)
+    x = jnp.zeros((2, 3072, 1))
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, x, rng)
+    recon, z_mu, z_sigma = model.apply(params, x, rng)
+    assert z_mu.shape == (2, 768, 3)
+    assert z_sigma.shape == (2, 768, 3)
+    assert recon.shape == (2, 3072, 1)
+
+    z = model.apply(params, x, rng, method=AutoencoderKL.encode_stage_2_inputs)
+    assert z.shape == (2, 768, 3)
+    dec = model.apply(params, z, method=AutoencoderKL.decode_stage_2_outputs)
+    assert dec.shape == (2, 3072, 1)
+
+
+def test_unet1d_shapes_latent_and_signal_space():
+    rng = jax.random.PRNGKey(1)
+    t = jnp.array([0, 999])
+    # latent space (LDM config, reduced width for test speed)
+    m = UNet1d(in_channels=3, out_channels=3, model_channels=32,
+               channel_mult=(1, 2, 4), attention_resolutions=(8, 4))
+    x = jnp.zeros((2, 768, 3))
+    params = jax.jit(m.init)(rng, x, t)
+    y = jax.jit(m.apply)(params, x, t)
+    assert y.shape == (2, 768, 3)
+    # zero-init output conv => zero output at init
+    np.testing.assert_allclose(np.asarray(y), 0.0)
+
+    # signal-space lengths (DM runs at 3072): conv params are
+    # length-independent, so the same params must apply at other lengths
+    x2 = jnp.zeros((2, 3072, 3))
+    assert jax.jit(m.apply)(params, x2, t).shape == (2, 3072, 3)
+
+
+def test_patch_discriminator_matches_torch_geometry():
+    """Logit map length must match the torch conv arithmetic of MONAI's
+    PatchDiscriminator (k3 s2 p1 x3 stages, then s1 x2)."""
+    m = PatchDiscriminator()
+    x = jnp.zeros((2, 3000, 1))
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    outs = m.apply(variables, x, train=False)
+
+    def tlen(l, k, s, p):
+        return (l + 2 * p - k) // s + 1
+
+    l = tlen(3000, 3, 2, 1)        # initial
+    lens = [l]
+    for stride in (2, 2, 1):       # num_layers_d = 3
+        l = tlen(l, 3, stride, 1)
+        lens.append(l)
+    lens.append(tlen(l, 3, 1, 1))  # final conv
+    assert [o.shape[1] for o in outs] == lens
+    assert outs[-1].shape == (2, lens[-1], 1)
+    assert len(outs) == 5
+
+
+def test_attention_matches_torch_reference():
+    """SelfAttention1d vs a hand-built torch QKV attention with identical
+    weights (the reference's QKVAttentionLegacy einsum convention)."""
+    b, l, c = 2, 16, 8
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(b, l, c)).astype(np.float32)
+    m = SelfAttention1d(num_heads=2, zero_out=False)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(m.apply(variables, jnp.asarray(x)))
+
+    # extract weights: flax conv kernels are (k, in, out)
+    wqkv = np.asarray(variables["params"]["qkv"]["kernel"])[0]  # (c, 3c)
+    bqkv = np.asarray(variables["params"]["qkv"]["bias"])
+    wo = np.asarray(variables["params"]["proj_out"]["kernel"])[0]
+    bo = np.asarray(variables["params"]["proj_out"]["bias"])
+
+    xt = torch.from_numpy(x)  # (b, l, c)
+    qkv = xt @ torch.from_numpy(wqkv) + torch.from_numpy(bqkv)  # (b,l,3c)
+    h = 2
+    d = c // h
+    qkv = qkv.reshape(b, l, h, 3 * d)
+    q, k, v = qkv.split(d, dim=-1)
+    scale = 1 / np.sqrt(np.sqrt(d))
+    w = torch.einsum("bihd,bjhd->bhij", q * scale, k * scale)
+    w = torch.softmax(w, dim=-1)
+    a = torch.einsum("bhij,bjhd->bihd", w, v).reshape(b, l, c)
+    want = (a @ torch.from_numpy(wo) + torch.from_numpy(bo)).numpy()
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_groupnorm_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 32, 8)).astype(np.float32)  # (B, L, C)
+    m = GroupNorm32(num_groups=4)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(m.apply(variables, jnp.asarray(x)))
+    want = torch.nn.functional.group_norm(
+        torch.from_numpy(x.transpose(0, 2, 1)), 4, eps=1e-6
+    ).numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_timestep_embedding_matches_torch_reference():
+    """cos|sin ordering per reference unet.py:12-36."""
+    t = np.array([0.0, 1.0, 500.0, 999.0], dtype=np.float32)
+    dim = 32
+    half = dim // 2
+    freqs = np.exp(-np.log(10000.0) * np.arange(half, dtype=np.float32) / half)
+    args = t[:, None] * freqs[None]
+    want = np.concatenate([np.cos(args), np.sin(args)], axis=-1)
+    got = np.asarray(timestep_embedding(jnp.asarray(t), dim))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_usleep_bottom_feature_shape():
+    """depth-12 encoder on a 3000-sample window pools down to length 1;
+    bottom features are the FID space (compute_fid.py:383-389)."""
+    m = USleep(in_chans=2, depth=12)
+    x = jnp.zeros((2, 3000, 2))
+    variables = jax.jit(lambda k, x: m.init(k, x, train=False))(jax.random.PRNGKey(0), x)
+    y, decoded, bottom = jax.jit(lambda v, x: m.apply(v, x, train=False))(variables, x)
+    # replicate the reference pooling arithmetic independently
+    l = 3000
+    for _ in range(12):
+        if l % 2:
+            l += 2
+        l //= 2
+    assert bottom.shape[1] == l == 1
+    from sleepgen.nn.usleep import usleep_channels
+    chans = usleep_channels(2, 12)
+    assert bottom.shape == (2, 1, chans[-1])
+    assert y.shape == (2, 5)
