@@ -32,7 +32,7 @@ from sleepgen.train.train_ldm import build_unet
 # MONAI): see BASELINE.md "Measured baseline" for the derivation.
 REFERENCE_WINDOWS_PER_SEC = 2.0
 
-BATCH = 128
+BATCH = 64  # sweep: 52.6 w/s @64, 50.1 @128, 44.6 @256, 41.1 @512
 STEPS = 200
 LATENT_LEN = 768
 LATENT_CH = 1
@@ -64,7 +64,7 @@ def main():
     out = sampler(unet_params, ae_params, sf, rng, seeds)
     out.block_until_ready()
 
-    n_iters = 3
+    n_iters = 4
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = sampler(unet_params, ae_params, sf, jax.random.fold_in(rng, i), seeds)

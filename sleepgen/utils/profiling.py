@@ -1,0 +1,73 @@
+"""Tracing / profiling — the rebuild of SURVEY.md §5's observability gap.
+
+The reference's only instrumentation is a pynvml memory print
+(``src/util.py:56-63``) and a thop FLOP hook (``src/models/unet.py:77-94``).
+Here: a jax.profiler trace context, a step timer with proper
+block_until_ready semantics, analytic FLOP counts via XLA cost analysis,
+device-memory stats, and a NaN-debug toggle for the fragile spectral loss.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a profiler trace viewable in TensorBoard/XProf."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def flops_of(fn: Callable, *args, **kwargs) -> Optional[float]:
+    """Analytic FLOP count from XLA's cost analysis of the jitted fn."""
+    lowered = jax.jit(fn).lower(*args, **kwargs)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    return float(cost.get("flops")) if cost and "flops" in cost else None
+
+
+def time_step(fn: Callable, *args, iters: int = 10, warmup: int = 2,
+              **kwargs) -> Dict[str, float]:
+    """Wall-clock a jitted step (dispatch-pipelined, sync at the end)."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return {"sec_per_step": dt, "steps_per_sec": 1.0 / dt}
+
+
+def device_memory_report() -> Dict[str, Any]:
+    """Per-device live-buffer stats (the print_gpu_memory_report analogue)."""
+    report = {}
+    for d in jax.devices():
+        try:
+            stats = d.memory_stats()
+        except Exception:
+            stats = None
+        if stats:
+            report[str(d)] = {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+                "pct": round(100 * stats.get("bytes_in_use", 0)
+                             / max(stats.get("bytes_limit", 1), 1), 1),
+            }
+    return report
+
+
+def enable_nan_debugging(enable: bool = True) -> None:
+    """config.debug_nans: every jit output checked for NaN (slow; use to
+    localize spectral-loss explosions, README.md:18)."""
+    jax.config.update("jax_debug_nans", enable)

@@ -1,0 +1,228 @@
+"""torch -> flax weight importer.
+
+Lets reference-trained checkpoints run in sleepgen (SURVEY.md §5
+"checkpoint canonicalization ... a torch->jax weight importer if we want
+to validate against reference checkpoints"). Handles the ``module.``
+DataParallel prefix drift the reference suffers from
+(compute_mmds.py:475-478 vs train_ldm.py:138-141).
+
+Supported architectures:
+  * ``import_unet1d`` — the reference's own UNetModel state_dict
+    (src/models/unet.py:330-563) -> sleepgen.nn.UNet1d params
+  * ``import_aekl_v1`` — src/models/ae_kl.py AutoencoderKL ->
+    sleepgen.nn.aekl_v1.AutoencoderKLV1 params
+
+Conventions: torch Conv1d weight (out, in, k) -> flax (k, in, out);
+Linear (out, in) -> (in, out); GroupNorm weight/bias -> scale/bias.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import numpy as np
+
+
+def strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
+    if all(k.startswith("module.") for k in sd):
+        return {k[len("module."):]: v for k, v in sd.items()}
+    return sd
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                      np.float32)
+
+
+def conv_w(t) -> np.ndarray:
+    return _np(t).transpose(2, 1, 0)
+
+
+def dense_w(t) -> np.ndarray:
+    return _np(t).T
+
+
+def _gn(sd, prefix):
+    return {"GroupNorm_0": {"scale": _np(sd[f"{prefix}.weight"]),
+                            "bias": _np(sd[f"{prefix}.bias"])}}
+
+
+def _conv(sd, prefix):
+    out = {"kernel": conv_w(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _dense(sd, prefix):
+    return {"kernel": dense_w(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+# ---------------------------------------------------------------------------
+# UNetModel -> UNet1d
+# ---------------------------------------------------------------------------
+def _res_block(sd, p):
+    """Reference ResBlock (unet.py:227-327) -> TimestepResBlock params."""
+    out = {
+        "GroupNorm32_0": _gn(sd, f"{p}.in_layers.0"),
+        "in_conv": _conv(sd, f"{p}.in_layers.2"),
+        "emb_proj": _dense(sd, f"{p}.emb_layers.1"),
+        "GroupNorm32_1": _gn(sd, f"{p}.out_layers.0"),
+        "out_conv": _conv(sd, f"{p}.out_layers.3"),
+    }
+    if f"{p}.skip_connection.weight" in sd:
+        out["skip_conv"] = _conv(sd, f"{p}.skip_connection")
+    return out
+
+
+def _attn_block(sd, p):
+    """Reference AttentionBlock (unet.py:132-174) -> AttentionBlock1d."""
+    return {
+        "GroupNorm32_0": _gn(sd, f"{p}.norm"),
+        "SelfAttention1d_0": {
+            "qkv": _conv(sd, f"{p}.qkv"),
+            "proj_out": _conv(sd, f"{p}.proj_out"),
+        },
+    }
+
+
+def import_unet1d(
+    state_dict: Dict[str, Any],
+    channel_mult: Sequence[int] = (1, 2, 4),
+    num_res_blocks: int = 2,
+    attention_resolutions: Sequence[int] = (8, 4),
+) -> Dict[str, Any]:
+    sd = strip_module_prefix(state_dict)
+    params: Dict[str, Any] = {
+        "time_dense_1": _dense(sd, "time_embed.0"),
+        "time_dense_2": _dense(sd, "time_embed.2"),
+        "conv_in": _conv(sd, "input_blocks.0.0"),
+    }
+    levels = len(channel_mult)
+
+    # input column — torch numbering walks TimestepEmbedSequential blocks
+    blk = 1
+    ds = 1
+    for level in range(levels):
+        for i in range(num_res_blocks):
+            params[f"down_{level}_res_{i}"] = _res_block(sd, f"input_blocks.{blk}.0")
+            if ds in attention_resolutions:
+                params[f"down_{level}_attn_{i}"] = _attn_block(
+                    sd, f"input_blocks.{blk}.1")
+            blk += 1
+        if level != levels - 1:
+            params[f"down_{level}_downres"] = _res_block(sd, f"input_blocks.{blk}.0")
+            blk += 1
+            ds *= 2
+
+    params["mid_res_1"] = _res_block(sd, "middle_block.0")
+    params["mid_attn"] = _attn_block(sd, "middle_block.1")
+    params["mid_res_2"] = _res_block(sd, "middle_block.2")
+
+    # output column
+    blk = 0
+    for level in reversed(range(levels)):
+        for i in range(num_res_blocks + 1):
+            params[f"up_{level}_res_{i}"] = _res_block(sd, f"output_blocks.{blk}.0")
+            nxt = 1
+            if ds in attention_resolutions:
+                params[f"up_{level}_attn_{i}"] = _attn_block(
+                    sd, f"output_blocks.{blk}.{nxt}")
+                nxt += 1
+            if level > 0 and i == num_res_blocks:
+                params[f"up_{level}_upres"] = _res_block(
+                    sd, f"output_blocks.{blk}.{nxt}")
+                ds //= 2
+            blk += 1
+
+    params["GroupNorm32_0"] = _gn(sd, "out.0")
+    params["conv_out"] = _conv(sd, "out.2")
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# ae_kl.AutoencoderKL (v1) -> AutoencoderKLV1
+# ---------------------------------------------------------------------------
+def _ae_res(sd, p):
+    out = {
+        "GroupNorm32_0": _gn(sd, f"{p}.norm1"),
+        "conv1": _conv(sd, f"{p}.conv1"),
+        "GroupNorm32_1": _gn(sd, f"{p}.norm2"),
+        "conv2": _conv(sd, f"{p}.conv2"),
+    }
+    if f"{p}.nin_shortcut.weight" in sd:
+        out["nin_shortcut"] = _conv(sd, f"{p}.nin_shortcut")
+    return out
+
+
+def _ae_attn(sd, p):
+    """ae_kl.AttnBlock (separate q/k/v convs) -> fused qkv (heads=1)."""
+    qw, kw, vw = (conv_w(sd[f"{p}.{n}.weight"]) for n in ("q", "k", "v"))
+    qb, kb, vb = (_np(sd[f"{p}.{n}.bias"]) for n in ("q", "k", "v"))
+    return {
+        "GroupNorm32_0": _gn(sd, f"{p}.norm"),
+        "SelfAttention1d_0": {
+            "qkv": {"kernel": np.concatenate([qw, kw, vw], axis=-1),
+                    "bias": np.concatenate([qb, kb, vb])},
+            "proj_out": _conv(sd, f"{p}.proj_out"),
+        },
+    }
+
+
+def import_aekl_v1(
+    state_dict: Dict[str, Any],
+    ch_mult: Sequence[int] = (1, 2, 4),
+    num_res_blocks: int = 2,
+    resolution: int = 3072,
+    attn_resolutions: Sequence[int] = (),
+) -> Dict[str, Any]:
+    sd = strip_module_prefix(state_dict)
+    levels = len(ch_mult)
+
+    def column(side: str) -> Dict[str, Any]:
+        """Walk the reference's flat blocks ModuleList (ae_kl.py:146-178 /
+        211-241) against our named layout."""
+        out: Dict[str, Any] = {}
+        b = 0
+        pre = f"{side}.blocks"
+        out["conv_in"] = _conv(sd, f"{pre}.{b}"); b += 1
+        if side == "encoder":
+            curr_res = resolution
+            for i in range(levels):
+                for j in range(num_res_blocks):
+                    out[f"down_{i}_res_{j}"] = _ae_res(sd, f"{pre}.{b}"); b += 1
+                    if curr_res in attn_resolutions:
+                        out[f"down_{i}_attn_{j}"] = _ae_attn(sd, f"{pre}.{b}"); b += 1
+                if i != levels - 1:
+                    out[f"down_{i}_downsample"] = {"conv": _conv(sd, f"{pre}.{b}.conv")}
+                    b += 1
+                    curr_res //= 2
+            out["mid_res_1"] = _ae_res(sd, f"{pre}.{b}"); b += 1
+            out["mid_attn"] = _ae_attn(sd, f"{pre}.{b}"); b += 1
+            out["mid_res_2"] = _ae_res(sd, f"{pre}.{b}"); b += 1
+        else:
+            curr_res = resolution // 2 ** (levels - 1)
+            out["mid_res_1"] = _ae_res(sd, f"{pre}.{b}"); b += 1
+            out["mid_attn"] = _ae_attn(sd, f"{pre}.{b}"); b += 1
+            out["mid_res_2"] = _ae_res(sd, f"{pre}.{b}"); b += 1
+            for i in reversed(range(levels)):
+                for j in range(num_res_blocks):
+                    out[f"up_{i}_res_{j}"] = _ae_res(sd, f"{pre}.{b}"); b += 1
+                    if curr_res in attn_resolutions:
+                        out[f"up_{i}_attn_{j}"] = _ae_attn(sd, f"{pre}.{b}"); b += 1
+                if i != 0:
+                    out[f"up_{i}_upsample"] = {"conv": _conv(sd, f"{pre}.{b}.conv")}
+                    b += 1
+                    curr_res *= 2
+        out["norm_out"] = _gn(sd, f"{pre}.{b}"); b += 1
+        out["conv_out"] = _conv(sd, f"{pre}.{b}")
+        return out
+
+    params = {
+        "encoder": column("encoder"),
+        "decoder": column("decoder"),
+        "quant_conv_mu": _conv(sd, "quant_conv_mu"),
+        "quant_conv_log_sigma": _conv(sd, "quant_conv_log_sigma"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
+    return {"params": params}
