@@ -113,6 +113,7 @@ class Config:
     spectral: bool = False  # --spe spectral flag
     dataset: str = "edfx"
     dtype: str = "bfloat16"  # compute dtype on TPU
+    use_pallas_norm: bool = False  # fused GroupNorm+SiLU Pallas kernel
 
     # -- I/O ------------------------------------------------------------------
     def to_yaml(self, path: str | Path) -> None:

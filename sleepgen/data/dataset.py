@@ -77,8 +77,16 @@ class WindowDataset:
 
     # -- batch iteration -----------------------------------------------------
     def epoch_windows(self, rng: np.random.Generator) -> np.ndarray:
-        """One random window per recording -> (N, L_padded, 1) float32."""
+        """One random window per recording -> (N, L_padded, 1) float32.
+        Uses the native C++ gather (data/native) when built; numpy
+        fallback otherwise — identical output either way."""
         starts = T.random_starts(rng, self.lengths, self.window)
+        from sleepgen.data.native import gather_windows_native
+
+        native = gather_windows_native(self.recordings, starts,
+                                       self.window, self.pad)
+        if native is not None:
+            return native
         out = np.empty((len(self), self.padded_window, 1), np.float32)
         for i, (rec, s) in enumerate(zip(self.recordings, starts)):
             out[i, :, 0] = T.crop_and_pad(rec, s, self.window, self.pad)

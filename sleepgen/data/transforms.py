@@ -43,8 +43,14 @@ def scale_intensity_range(x: np.ndarray, minv: float = 0.0, maxv: float = 1.0) -
 def normalize_recording(raw: np.ndarray, factor: float = 1e6) -> np.ndarray:
     """Full per-recording preprocessing (applied once, cached):
     x(1+1e6) then min-max to [0, 1]. Input (T,) or (1, T); output (T,)
-    float32."""
+    float32. Long recordings go through the native C++ path when built."""
     x = np.asarray(raw, dtype=np.float64).reshape(-1)
+    if x.size >= 65536:
+        from sleepgen.data.native import normalize_recording_native
+
+        out = normalize_recording_native(x, factor)
+        if out is not None:
+            return out
     x = scale_intensity_factor(x, factor)
     x = scale_intensity_range(x, 0.0, 1.0)
     return x.astype(np.float32)

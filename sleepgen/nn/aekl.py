@@ -42,14 +42,15 @@ class AEResBlock(nn.Module):
     out_channels: int
     num_groups: int = 1
     dtype: Dtype = jnp.float32
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = GroupNorm32(self.num_groups)(x)
-        h = nn.silu(h)
+        h = GroupNorm32(self.num_groups, fuse_silu=True,
+                        use_pallas=self.use_pallas_norm)(x)
         h = conv1d(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(self.num_groups)(h)
-        h = nn.silu(h)
+        h = GroupNorm32(self.num_groups, fuse_silu=True,
+                        use_pallas=self.use_pallas_norm)(h)
         h = conv1d(self.out_channels, 3, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = conv1d(self.out_channels, 1, dtype=self.dtype, name="nin_shortcut")(x)
@@ -88,6 +89,7 @@ class Encoder(nn.Module):
     attention_levels: Sequence[bool] = (False, False, False)
     with_nonlocal_attn: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -96,6 +98,7 @@ class Encoder(nn.Module):
         for level, out_ch in enumerate(ch):
             for i in range(self.num_res_blocks):
                 h = AEResBlock(out_ch, self.num_groups, self.dtype,
+                               use_pallas_norm=self.use_pallas_norm,
                                name=f"down_{level}_res_{i}")(h)
                 if self.attention_levels[level]:
                     h = AttentionBlock1d(1, self.num_groups, self.dtype,
@@ -118,6 +121,7 @@ class Decoder(nn.Module):
     attention_levels: Sequence[bool] = (False, False, False)
     with_nonlocal_attn: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -131,6 +135,7 @@ class Decoder(nn.Module):
         for level, out_ch in enumerate(rev):
             for i in range(self.num_res_blocks):
                 h = AEResBlock(out_ch, self.num_groups, self.dtype,
+                               use_pallas_norm=self.use_pallas_norm,
                                name=f"up_{level}_res_{i}")(h)
                 if rev_attn[level]:
                     h = AttentionBlock1d(1, self.num_groups, self.dtype,
@@ -154,6 +159,7 @@ class AutoencoderKL(nn.Module):
     with_encoder_nonlocal_attn: bool = False
     with_decoder_nonlocal_attn: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas_norm: bool = False
 
     def setup(self):
         self.encoder = Encoder(
@@ -164,6 +170,7 @@ class AutoencoderKL(nn.Module):
             attention_levels=self.attention_levels,
             with_nonlocal_attn=self.with_encoder_nonlocal_attn,
             dtype=self.dtype,
+            use_pallas_norm=self.use_pallas_norm,
         )
         self.decoder = Decoder(
             num_channels=self.num_channels,
@@ -173,6 +180,7 @@ class AutoencoderKL(nn.Module):
             attention_levels=self.attention_levels,
             with_nonlocal_attn=self.with_decoder_nonlocal_attn,
             dtype=self.dtype,
+            use_pallas_norm=self.use_pallas_norm,
         )
         self.quant_conv_mu = conv1d(self.latent_channels, 1, dtype=self.dtype,
                                     name="quant_conv_mu")

@@ -47,26 +47,55 @@ def conv1d(
     )
 
 
+class _GNParams(nn.Module):
+    """scale/bias holder with nn.GroupNorm-compatible param names, so the
+    fused path shares checkpoints with the unfused one."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm computed in float32 regardless of compute dtype.
 
     Parity: reference ``Normalize`` (GroupNorm eps=1e-6) at
     ``src/models/unet.py:71-74`` and MONAI AutoencoderKL's
     norm_num_groups GroupNorms.
+
+    ``fuse_silu`` folds the SiLU that follows every ResBlock norm into the
+    same op; ``use_pallas`` routes through the fused Pallas TPU kernel
+    (sleepgen.pallas_kernels.group_norm) — identical math, same param tree.
     """
 
     num_groups: int = 32
     epsilon: float = 1e-6
+    fuse_silu: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig = x.dtype
+        if self.use_pallas:
+            from sleepgen.pallas_kernels import fused_group_norm_silu
+
+            scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()
+            return fused_group_norm_silu(
+                x, scale, bias, self.num_groups, self.epsilon, self.fuse_silu)
         y = nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
         )(x.astype(jnp.float32))
+        if self.fuse_silu:
+            y = nn.silu(y)
         return y.astype(orig)
 
 
@@ -139,9 +168,10 @@ class AttentionBlock1d(nn.Module):
     num_heads: int = 1
     num_groups: int = 32
     dtype: Dtype = jnp.float32
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = GroupNorm32(self.num_groups)(x)
+        h = GroupNorm32(self.num_groups, use_pallas=self.use_pallas_norm)(x)
         h = SelfAttention1d(num_heads=self.num_heads, dtype=self.dtype)(h)
         return x + h

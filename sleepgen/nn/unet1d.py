@@ -53,14 +53,15 @@ class TimestepResBlock(nn.Module):
     num_groups: int = 32
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         out_ch = self.out_channels
 
-        h = GroupNorm32(self.num_groups)(x)
-        h = nn.silu(h)
+        h = GroupNorm32(self.num_groups, fuse_silu=True,
+                        use_pallas=self.use_pallas_norm)(x)
         if self.up:
             h = nearest_upsample_1d(h)
             x = nearest_upsample_1d(x)
@@ -77,11 +78,13 @@ class TimestepResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(self.num_groups)(h) * (1 + scale) + shift
+            h = GroupNorm32(self.num_groups,
+                            use_pallas=self.use_pallas_norm)(h) * (1 + scale) + shift
+            h = nn.silu(h)
         else:
             h = h + emb_out
-            h = GroupNorm32(self.num_groups)(h)
-        h = nn.silu(h)
+            h = GroupNorm32(self.num_groups, fuse_silu=True,
+                            use_pallas=self.use_pallas_norm)(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv1d(out_ch, 3, dtype=self.dtype, zero_init=True, name="out_conv")(h)
@@ -105,6 +108,7 @@ class UNet1d(nn.Module):
     num_groups: int = 32
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
@@ -129,13 +133,16 @@ class UNet1d(nn.Module):
                 num_groups=self.num_groups,
                 dropout=self.dropout,
                 dtype=self.dtype,
+                use_pallas_norm=self.use_pallas_norm,
                 name=name,
                 **kw,
             )(h, e, deterministic)
 
         def attn(h, name):
             return AttentionBlock1d(self.num_heads, self.num_groups,
-                                    self.dtype, name=name)(h)
+                                    self.dtype,
+                                    use_pallas_norm=self.use_pallas_norm,
+                                    name=name)(h)
 
         h = conv1d(mc, 3, dtype=self.dtype, name="conv_in")(x.astype(self.dtype))
         hs = [h]
@@ -177,8 +184,8 @@ class UNet1d(nn.Module):
                     ds //= 2
         assert not hs, "skip stack imbalance"
 
-        h = GroupNorm32(self.num_groups)(h)
-        h = nn.silu(h)
+        h = GroupNorm32(self.num_groups, fuse_silu=True,
+                        use_pallas=self.use_pallas_norm)(h)
         out = conv1d(self.out_channels, 3, dtype=self.dtype, zero_init=True,
                      name="conv_out")(h)
         return out.astype(jnp.float32)

@@ -1,0 +1,6 @@
+from sleepgen.pallas_kernels.group_norm import (
+    fused_group_norm_silu,
+    group_norm_silu_reference,
+)
+
+__all__ = ["fused_group_norm_silu", "group_norm_silu_reference"]

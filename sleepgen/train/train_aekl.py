@@ -66,6 +66,7 @@ def build_models(cfg: Config, dtype=jnp.float32) -> Tuple[AutoencoderKL, PatchDi
         with_encoder_nonlocal_attn=cfg.aekl.with_encoder_nonlocal_attn,
         with_decoder_nonlocal_attn=cfg.aekl.with_decoder_nonlocal_attn,
         dtype=dtype,
+        use_pallas_norm=cfg.use_pallas_norm,
     )
     disc = PatchDiscriminator(
         num_layers_d=cfg.discriminator.num_layers_d,

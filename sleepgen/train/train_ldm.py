@@ -58,6 +58,7 @@ def build_unet(cfg: Config, in_channels: int, out_channels: int, dtype) -> UNet1
         num_groups=u.norm_num_groups,
         dropout=u.dropout,
         dtype=dtype,
+        use_pallas_norm=cfg.use_pallas_norm,
     )
 
 
