@@ -28,11 +28,13 @@ from sleepgen.train.train_ldm import (
 
 
 def bench(fn, state, batch, rng, iters=10):
-    state, m = fn(state, batch, rng)
+    # vary the rng per call: identical (executable, buffers) invocations
+    # can be memoized by the execution relay and report impossible speeds
+    state, m = fn(state, batch, jax.random.fold_in(rng, 999))
     jax.block_until_ready(m)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = fn(state, batch, rng)
+    for i in range(iters):
+        state, m = fn(state, batch, jax.random.fold_in(rng, i))
     jax.block_until_ready(m)
     return (time.perf_counter() - t0) / iters, state
 

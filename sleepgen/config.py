@@ -17,6 +17,33 @@ from typing import List, Optional
 import yaml
 
 
+def _coerce(value, typ):
+    """YAML 1.1 quirk: '1E4'/'1E-9' (no dot) parse as strings; the
+    reference's configs use that form (config_aekl_eeg.yaml:14-17)."""
+    if isinstance(value, str):
+        try:
+            if typ is float:
+                return float(value)
+            if typ is int:
+                return int(value)
+        except ValueError:
+            return value
+    return value
+
+
+def _replace_known(obj, data: dict):
+    known = {f.name: f.type for f in dataclasses.fields(obj)}
+    clean = {}
+    for k, v in data.items():
+        if k not in known:
+            continue
+        t = known[k]
+        t = {"float": float, "int": int, "bool": bool, "str": str}.get(t, t) \
+            if isinstance(t, str) else t
+        clean[k] = _coerce(v, t)
+    return dataclasses.replace(obj, **clean)
+
+
 @dataclass
 class TrainConfig:
     seed: int = 2
@@ -135,10 +162,7 @@ class Config:
                 if dataclasses.is_dataclass(f.type) or f.name in (
                     "train", "losses", "aekl", "discriminator", "unet", "diffusion"
                 ):
-                    default = getattr(cfg, f.name)
-                    known = {x.name for x in dataclasses.fields(default)}
-                    setattr(cfg, f.name, dataclasses.replace(
-                        default, **{k: v for k, v in sub.items() if k in known}))
+                    setattr(cfg, f.name, _replace_known(getattr(cfg, f.name), sub))
                 else:
                     setattr(cfg, f.name, sub)
         return cfg
@@ -149,23 +173,14 @@ class Config:
         cfg = cls()
         tr = dict(raw.get("train", {}))
         tr.setdefault("val_interval", tr.pop("eval_freq", cfg.train.val_interval))
-        known = {f.name for f in dataclasses.fields(TrainConfig)}
-        cfg.train = dataclasses.replace(
-            cfg.train, **{k: v for k, v in tr.items() if k in known})
+        cfg.train = _replace_known(cfg.train, tr)
         if "models" in raw:
-            known = {f.name for f in dataclasses.fields(LossConfig)}
-            cfg.losses = dataclasses.replace(
-                cfg.losses, **{k: v for k, v in raw["models"].items() if k in known})
+            cfg.losses = _replace_known(cfg.losses, raw["models"])
         if "autoencoderkl" in raw:
-            p = raw["autoencoderkl"].get("params", {})
-            known = {f.name for f in dataclasses.fields(AEKLModelConfig)}
-            cfg.aekl = dataclasses.replace(
-                cfg.aekl, **{k: v for k, v in p.items() if k in known})
+            cfg.aekl = _replace_known(cfg.aekl, raw["autoencoderkl"].get("params", {}))
         if "patchdiscriminator" in raw:
-            p = raw["patchdiscriminator"].get("params", {})
-            known = {f.name for f in dataclasses.fields(DiscriminatorConfig)}
-            cfg.discriminator = dataclasses.replace(
-                cfg.discriminator, **{k: v for k, v in p.items() if k in known})
+            cfg.discriminator = _replace_known(
+                cfg.discriminator, raw["patchdiscriminator"].get("params", {}))
         model = raw.get("model", {}).get("params", {})
         if model:
             cfg.diffusion = dataclasses.replace(
@@ -179,15 +194,11 @@ class Config:
                 prediction_type="epsilon"
                 if model.get("parameterization", "eps") == "eps" else "sample",
             )
-            up = model.get("unet_config", {}).get("params", {})
-            known = {f.name for f in dataclasses.fields(UNetConfig)}
-            cfg.unet = dataclasses.replace(
-                cfg.unet, **{k: v for k, v in up.items() if k in known})
+            cfg.unet = _replace_known(
+                cfg.unet, model.get("unet_config", {}).get("params", {}))
         uroot = raw.get("unet", {}).get("params", {})
         if uroot:
-            known = {f.name for f in dataclasses.fields(UNetConfig)}
-            cfg.unet = dataclasses.replace(
-                cfg.unet, **{k: v for k, v in uroot.items() if k in known})
+            cfg.unet = _replace_known(cfg.unet, uroot)
         return cfg
 
 

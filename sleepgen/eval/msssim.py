@@ -65,9 +65,24 @@ def ssim_and_cs(
     return jnp.mean(ssim, axis=axes), jnp.mean(cs, axis=axes)
 
 
+def uniform_kernel_1d(kernel_size: int = 16) -> np.ndarray:
+    """Uniform (box) kernel — MONAI kernel_type='uniform' as used by the
+    band-eval suite with kernel_size 16 (testing/tailored_mssim.py)."""
+    return np.full((kernel_size,), 1.0 / kernel_size, np.float32)
+
+
+def _make_kernel(kernel_size: int, sigma: float, kernel_type: str) -> np.ndarray:
+    if kernel_type == "gaussian":
+        return gaussian_kernel_1d(kernel_size, sigma)
+    if kernel_type == "uniform":
+        return uniform_kernel_1d(kernel_size)
+    raise ValueError(kernel_type)
+
+
 def ssim_1d(x: jnp.ndarray, y: jnp.ndarray, kernel_size: int = 7,
-            sigma: float = 1.5, data_range: float = 1.0) -> jnp.ndarray:
-    kernel = jnp.asarray(gaussian_kernel_1d(kernel_size, sigma))
+            sigma: float = 1.5, data_range: float = 1.0,
+            kernel_type: str = "gaussian") -> jnp.ndarray:
+    kernel = jnp.asarray(_make_kernel(kernel_size, sigma, kernel_type))
     s, _ = ssim_and_cs(x, y, kernel, data_range)
     return s
 
@@ -79,11 +94,12 @@ def ms_ssim_1d(
     sigma: float = 1.5,
     data_range: float = 1.0,
     weights: Sequence[float] = MSSSIM_WEIGHTS,
+    kernel_type: str = "gaussian",
 ) -> jnp.ndarray:
     """Multi-scale SSIM on (B, L, C) -> (B,). At each non-final scale keep
     CS, avg-pool by 2; final scale keeps SSIM; combine prod(v_i^w_i)
     (MONAI MultiScaleSSIMMetric semantics, relu-clamped)."""
-    kernel = jnp.asarray(gaussian_kernel_1d(kernel_size, sigma))
+    kernel = jnp.asarray(_make_kernel(kernel_size, sigma, kernel_type))
     weights_arr = jnp.asarray(weights, jnp.float32)
     levels = len(weights)
     vals = []

@@ -30,6 +30,23 @@ from sleepgen.utils import CheckpointManager, MetricsLogger, setup_run_dir
 DM_SPECTRAL_WEIGHT = 1e-6  # train_pure_ldm.py:158
 
 
+def make_dm_eval_step(unet, sched):
+    """Validation loss (eval_diffusion parity, training_diffusion.py:166-231)."""
+
+    @jax.jit
+    def eval_step(params, batch, rng):
+        k_t, k_noise = jax.random.split(rng)
+        x = batch.astype(jnp.float32)
+        t = jax.random.randint(k_t, (x.shape[0],), 0, sched.num_timesteps)
+        noise = jax.random.normal(k_noise, x.shape, jnp.float32)
+        noisy = sched.add_noise(x, noise, t)
+        target = sched.velocity(x, noise, t) if sched.prediction_type == "v_prediction" else noise
+        pred = unet.apply({"params": params}, noisy, t).astype(jnp.float32)
+        return jnp.mean((pred - target) ** 2)
+
+    return eval_step
+
+
 def make_dm_train_step(unet, sched, opt, spectral: bool):
     def train_step(state: DiffusionState, batch: jnp.ndarray, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -95,6 +112,7 @@ def train_dm(
     state = replicate(mesh, state)
 
     train_step = make_dm_train_step(unet, sched, opt, cfg.spectral)
+    eval_step = make_dm_eval_step(unet, sched)
     np_rng = np.random.default_rng(cfg.train.seed)
     n_dev = mesh.devices.size
     best_loss = float(jax.device_get(state.best_loss))
@@ -117,10 +135,19 @@ def train_dm(
             break
 
         if (epoch + 1) % cfg.train.val_interval == 0:
+            val_losses = []
+            for batch in valid_ds.epoch_batches(
+                cfg.train.batch_size, np_rng, shuffle=True, pad_multiple=n_dev
+            ):
+                dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
+                val_losses.append(float(jax.device_get(
+                    eval_step(state.params, dev_batch, rng))))
+            val_loss = float(np.mean(val_losses))
+            logger_v.log(epoch, {"loss": val_loss})
             host_state = jax.device_get(state)
             ckpt.save(int(host_state.step), host_state)
-            if mean_loss <= best_loss:
-                best_loss = mean_loss
+            if val_loss <= best_loss:
+                best_loss = val_loss
                 ckpt.save_best({"params": host_state.params})
 
     host_state = jax.device_get(state)

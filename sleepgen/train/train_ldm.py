@@ -173,7 +173,7 @@ def train_ldm(
     stage1_params = replicate(mesh, stage1_params)
     scale_factor = compute_scale_factor(ae, stage1_params, first_batch, rng)
 
-    latent_len = first_batch.shape[1] // 4
+    latent_len = first_batch.shape[1] // 2 ** (len(aekl_cfg.aekl.num_channels) - 1)
     z0 = jnp.zeros((2, latent_len, latent_channels), jnp.float32)
     params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
     opt = optax.adam(cfg.train.base_lr)

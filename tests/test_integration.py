@@ -64,6 +64,17 @@ def test_end_to_end_aekl_ldm_sample(tiny_cfg, tiny_ds):
     assert len(train_log) == 2
     assert all(np.isfinite(r["g_loss"]) for r in train_log)
 
+    # checkpoint/resume: re-entering the same run dir with a higher epoch
+    # budget resumes from the saved step instead of restarting
+    import dataclasses
+    cfg_resume = dataclasses.replace(tiny_cfg)
+    cfg_resume.train = dataclasses.replace(tiny_cfg.train, n_epochs=3)
+    res_resume = train_aekl(cfg_resume, train, valid, run_name="aekl_test",
+                            mesh=mesh)
+    assert res_resume.last_epoch == 2  # continued, not restarted
+    log2 = (run_dir / "metrics_train.jsonl").read_text().splitlines()
+    assert len(log2) == 3  # exactly one more epoch appended
+
     # restore stage-1 params through the canonical checkpoint
     from sleepgen.train.train_aekl import init_state
     state0, ae, *_ = init_state(tiny_cfg, jax.random.PRNGKey(0),
