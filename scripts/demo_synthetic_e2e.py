@@ -1,0 +1,163 @@
+"""End-to-end demo on the real TPU: train the flagship AEKL + LDM on
+synthetic EEG, sample with batched DDIM, and report quality metrics
+(MS-SSIM reconstruction, FID synthetic-vs-test with its test-vs-test
+floor, PSD overlap).
+
+This is the whole reference workflow (train_autoencoderkl -> train_ldm ->
+sample_trials -> compute_mmds/compute_fid) compressed into one script on
+hermetic data — the round-N health check that the framework actually
+learns, not just runs.
+
+Usage: python scripts/demo_synthetic_e2e.py --out /tmp/sleepgen_demo
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", type=str, default="/tmp/sleepgen_demo")
+    p.add_argument("--aekl_epochs", type=int, default=400)
+    p.add_argument("--ldm_epochs", type=int, default=800)
+    p.add_argument("--n_recordings", type=int, default=48)
+    p.add_argument("--n_samples", type=int, default=128)
+    p.add_argument("--small", action="store_true",
+                   help="tiny widths for a quick smoke run")
+    args = p.parse_args()
+
+    from sleepgen.config import Config
+    from sleepgen.data import WindowDataset, make_synthetic_dataset
+    from sleepgen.data.transforms import center_crop_valid
+    from sleepgen.eval import ms_ssim_1d
+    from sleepgen.train.train_aekl import init_state, train_aekl
+    from sleepgen.train.train_ldm import train_ldm, build_unet
+    from sleepgen.sample.sample_ldm import sample_ldm_trials
+    from sleepgen.utils import CheckpointManager
+
+    t_start = time.time()
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    cfg = Config()
+    cfg.train.output_dir = str(out)
+    cfg.train.batch_size = 256
+    cfg.train.n_epochs = args.aekl_epochs
+    cfg.train.val_interval = max(args.aekl_epochs // 4, 1)
+    cfg.aekl.num_channels = [2, 2, 4] if args.small else [32, 32, 64]
+    cfg.aekl.latent_channels = 1
+    if args.small:
+        cfg.unet.model_channels = 32
+    cfg.losses.kl_weight = 1e-9
+
+    raws = make_synthetic_dataset(args.n_recordings, duration_s=300.0)
+    n_tr = int(args.n_recordings * 0.7)
+    n_va = int(args.n_recordings * 0.15)
+    train = WindowDataset.from_raw(raws[:n_tr])
+    valid = WindowDataset.from_raw(raws[n_tr : n_tr + n_va])
+    test = WindowDataset.from_raw(raws[n_tr + n_va :])
+
+    print(f"[{time.time()-t_start:.0f}s] training AEKL "
+          f"({cfg.aekl.num_channels}, {args.aekl_epochs} epochs)...", flush=True)
+    res1 = train_aekl(cfg, train, valid, run_name="demo_aekl")
+    print(f"[{time.time()-t_start:.0f}s] AEKL best val L1: {res1.best_loss:.5f} "
+          f"(nan_stop={res1.stopped_on_nan})", flush=True)
+
+    state0, ae, *_ = init_state(cfg, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(res1.run_dir)
+    stage1 = ckpt.restore_best(jax.device_get(state0.params_g))
+    ckpt.close()
+
+    cfg.train.n_epochs = args.ldm_epochs
+    cfg.train.val_interval = max(args.ldm_epochs // 4, 1)
+    print(f"[{time.time()-t_start:.0f}s] training LDM ({args.ldm_epochs} epochs)...",
+          flush=True)
+    res2 = train_ldm(cfg, train, valid, stage1, run_name="demo_ldm")
+    print(f"[{time.time()-t_start:.0f}s] LDM best val loss: {res2.best_loss:.5f} "
+          f"scale_factor={res2.scale_factor:.4f}", flush=True)
+
+    lc = cfg.aekl.latent_channels
+    unet = build_unet(cfg, lc, lc,
+                      jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    z0 = jnp.zeros((2, cfg.unet.image_size, lc), jnp.float32)
+    tpl = {"params": jax.device_get(unet.init(
+        jax.random.PRNGKey(0), z0, jnp.zeros((2,), jnp.int32))["params"]),
+        "scale_factor": np.zeros((), np.float32)}
+    ckpt2 = CheckpointManager(res2.run_dir)
+    best = ckpt2.restore_best(tpl)
+    ckpt2.close()
+
+    print(f"[{time.time()-t_start:.0f}s] sampling {args.n_samples} windows "
+          f"(DDIM-200)...", flush=True)
+    sigs = sample_ldm_trials(
+        cfg, best["params"], stage1, float(best["scale_factor"]),
+        out / "samples", 0, args.n_samples, batch_size=min(args.n_samples, 128),
+        compute_psd=False)
+
+    # ---- metrics
+    rng = np.random.default_rng(0)
+    test_w = test.epoch_windows(rng)
+    test_crop = center_crop_valid(test_w)
+
+    # AE reconstruction MS-SSIM
+    from sleepgen.nn import AutoencoderKL as AE
+
+    recon = np.asarray(jax.device_get(ae.apply(
+        {"params": stage1}, jnp.asarray(test_w), method=AE.reconstruct)))
+    ms_recon = float(np.mean(np.asarray(ms_ssim_1d(
+        jnp.asarray(test_crop), jnp.asarray(center_crop_valid(recon))))))
+
+    # synthetic pair diversity + sample-vs-test
+    k = min(len(sigs), len(test_crop))
+    ms_pairs_synth = float(np.mean(np.asarray(ms_ssim_1d(
+        jnp.asarray(sigs[:-1]), jnp.asarray(sigs[1:])))))
+    ms_pairs_test = float(np.mean(np.asarray(ms_ssim_1d(
+        jnp.asarray(test_crop[:-1]), jnp.asarray(test_crop[1:])))))
+
+    # FID over USleep features (seeded random init)
+    from sleepgen.cli.compute_fid import load_usleep
+    from sleepgen.eval import compute_fid, frechet_distance, usleep_fid_features
+
+    m, variables = load_usleep(None, seed=0)
+    fid = compute_fid(m, variables, test_crop, sigs[:k])
+    feats = usleep_fid_features(m, variables, test_crop)
+    half = len(feats) // 2
+    fid_floor = frechet_distance(feats[:half], feats[half : 2 * half])
+
+    # PSD band-energy overlap
+    from sleepgen.eval.psd import welch_psd
+
+    psd_t, _ = welch_psd(jnp.asarray(test_crop[..., 0]), fmax=18.0)
+    psd_s, _ = welch_psd(jnp.asarray(sigs[..., 0]), fmax=18.0)
+    pt = np.asarray(psd_t).mean(0)
+    ps = np.asarray(psd_s).mean(0)
+    psd_corr = float(np.corrcoef(np.log10(pt + 1e-30), np.log10(ps + 1e-30))[0, 1])
+
+    report = {
+        "aekl_best_val_l1": res1.best_loss,
+        "ldm_best_val_loss": res2.best_loss,
+        "scale_factor": res2.scale_factor,
+        "ms_ssim_reconstruction": ms_recon,
+        "ms_ssim_synth_pairs": ms_pairs_synth,
+        "ms_ssim_test_pairs_floor": ms_pairs_test,
+        "fid_synth_vs_test": fid,
+        "fid_test_vs_test_floor": fid_floor,
+        "psd_log_correlation": psd_corr,
+        "wall_clock_sec": round(time.time() - t_start, 1),
+    }
+    (out / "report.json").write_text(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

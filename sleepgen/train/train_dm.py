@@ -135,6 +135,21 @@ def train_dm(
             break
 
         if (epoch + 1) % cfg.train.val_interval == 0:
+            if (epoch + 1) % (cfg.train.val_interval * 2) == 0:
+                # in-training signal-space sample (util.py:261-285)
+                from sleepgen.data.transforms import to_bcl
+                from sleepgen.sample.samplers import ddpm_sample_loop
+
+                @jax.jit
+                def _draw(params, key):
+                    x_T = jax.random.normal(key, (1, window, 1))
+                    return ddpm_sample_loop(
+                        lambda x, t: unet.apply({"params": params}, x, t),
+                        sched, x_T, key, clip_sample=True)
+
+                samp = _draw(state.params, jax.random.fold_in(rng, epoch))
+                np.save(run_dir / f"sample_unconditioned_{epoch}.npy",
+                        to_bcl(np.asarray(jax.device_get(samp))))
             val_losses = []
             for batch in valid_ds.epoch_batches(
                 cfg.train.batch_size, np_rng, shuffle=True, pad_multiple=n_dev

@@ -88,3 +88,18 @@ def test_chambon_shapes_and_learning():
                 jnp.asarray(x[:2]), train=False)
     out = m1.apply(v, jnp.asarray(x[:2]), train=False)
     assert out.shape == (2, 5)
+
+
+def test_deepsleepnet_forward_shapes():
+    from sleepgen.nn.deepsleepnet import DeepSleepNet
+
+    m = DeepSleepNet(n_outputs=5, sfreq=100)
+    x = jnp.zeros((2, 3000, 1))
+    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+               x, train=False)
+    y = m.apply(v, x, train=False)
+    assert y.shape == (2, 5)
+    # sequence mode
+    xs = jnp.zeros((2, 3, 3000, 1))
+    ys = m.apply(v, xs, train=False)
+    assert ys.shape == (2, 3, 5)

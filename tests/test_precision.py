@@ -1,0 +1,77 @@
+"""Mixed-precision policy tests: bf16 compute must not corrupt sampling,
+and the v_prediction target path must train."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sleepgen.diffusion import NoiseSchedule
+from sleepgen.nn import UNet1d
+from sleepgen.sample.samplers import ddim_sample_loop, seed_noise
+
+
+def _mini_unet(dtype):
+    return UNet1d(in_channels=1, out_channels=1, model_channels=16,
+                  channel_mult=(1, 2), attention_resolutions=(2,),
+                  num_groups=8, dtype=dtype)
+
+
+def test_bf16_sampler_tracks_fp32():
+    """Same params, same seeds: the bf16 sampler's output must correlate
+    strongly with the fp32 one (schedule math stays fp32 by design)."""
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, 64, 1))
+    t0 = jnp.zeros((2,), jnp.int32)
+    m32 = _mini_unet(jnp.float32)
+    params = m32.init(rng, x0, t0)["params"]
+    m16 = _mini_unet(jnp.bfloat16)
+
+    sched = NoiseSchedule.create("scaled_linear_beta", 1000, 0.0015, 0.0205,
+                                 prediction_type="v_prediction")
+    seeds = jnp.arange(4)
+    x_T = seed_noise(rng, seeds, (64, 1))
+
+    def run(model):
+        def fn(x, t):
+            return model.apply({"params": params}, x, t)
+        return np.asarray(ddim_sample_loop(fn, sched, x_T, 20))
+
+    y32, y16 = run(m32), run(m16)
+    assert np.all(np.isfinite(y16))
+    # zero-init out conv means both start as pure schedule transport of the
+    # same noise; with random-ish mid layers they stay close
+    corr = np.corrcoef(y32.ravel(), y16.ravel())[0, 1]
+    assert corr > 0.99
+    np.testing.assert_allclose(y16, y32, atol=0.15)
+
+
+def test_v_prediction_training_path():
+    """cfg.diffusion.prediction_type='v_prediction' wires get_velocity as
+    the target (training.py:432-434) and the loss decreases on a fixed
+    batch."""
+    from sleepgen.config import Config
+    from sleepgen.train.train_dm import make_dm_train_step
+    from sleepgen.train.train_ldm import DiffusionState, make_schedule
+
+    cfg = Config()
+    cfg.diffusion.prediction_type = "v_prediction"
+    sched = make_schedule(cfg)
+    assert sched.prediction_type == "v_prediction"
+
+    rng = jax.random.PRNGKey(0)
+    unet = _mini_unet(jnp.float32)
+    params = unet.init(rng, jnp.zeros((2, 64, 1)), jnp.zeros((2,), jnp.int32))["params"]
+    opt = optax.adam(1e-3)
+    state = DiffusionState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt=opt.init(params),
+                           best_loss=jnp.asarray(jnp.inf, jnp.float32),
+                           scale_factor=jnp.asarray(1.0, jnp.float32))
+    step = make_dm_train_step(unet, sched, opt, spectral=False)
+    batch = jnp.asarray(np.random.default_rng(0).random((8, 64, 1)), jnp.float32)
+
+    losses = []
+    for _ in range(30):
+        state, m = step(state, batch, rng)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
