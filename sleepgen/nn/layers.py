@@ -141,6 +141,7 @@ class SelfAttention1d(nn.Module):
     num_heads: int = 1
     dtype: Dtype = jnp.float32
     zero_out: bool = True
+    kv_block_size: int = 0  # >0: blockwise (flash-style) attention
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -154,10 +155,16 @@ class SelfAttention1d(nn.Module):
         scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(d, jnp.float32)))
         q = q.astype(jnp.float32) * scale
         k = k.astype(jnp.float32) * scale
-        logits = jnp.einsum("bihd,bjhd->bhij", q, k)
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhij,bjhd->bihd", weights, v.astype(self.dtype))
-        out = out.reshape(b, l, c)
+        if self.kv_block_size and l > self.kv_block_size:
+            from sleepgen.nn.blockwise_attention import blockwise_attention
+
+            out = blockwise_attention(q, k, v, self.kv_block_size)
+            out = out.astype(self.dtype).reshape(b, l, c)
+        else:
+            logits = jnp.einsum("bihd,bjhd->bhij", q, k)
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhij,bjhd->bihd", weights, v.astype(self.dtype))
+            out = out.reshape(b, l, c)
         return conv1d(c, kernel=1, dtype=self.dtype, name="proj_out",
                       zero_init=self.zero_out)(out)
 

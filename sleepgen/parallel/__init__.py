@@ -1,5 +1,6 @@
 from sleepgen.parallel.mesh import (
     DATA_AXIS,
+    prefetch_to_device,
     MODEL_AXIS,
     batch_sharding,
     initialize_distributed,
@@ -17,6 +18,7 @@ __all__ = [
     "initialize_distributed",
     "make_mesh",
     "pad_to_multiple",
+    "prefetch_to_device",
     "replicate",
     "replicated",
     "shard_batch",

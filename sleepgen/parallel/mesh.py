@@ -80,3 +80,26 @@ def pad_to_multiple(batch: np.ndarray, multiple: int) -> np.ndarray:
         return batch
     pad = np.repeat(batch[-1:], rem, axis=0)
     return np.concatenate([batch, pad], axis=0)
+
+
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2, dtype=None):
+    """Double-buffered host->device pipeline: keeps `size` batches in
+    flight so device_put/H2D overlaps the running step (the TPU analogue
+    of the reference's 25 DataLoader workers + pin_memory)."""
+    import collections
+
+    import jax.numpy as jnp
+
+    queue = collections.deque()
+    sh = batch_sharding(mesh)
+
+    def put(batch):
+        arr = jnp.asarray(batch, dtype) if dtype is not None else jnp.asarray(batch)
+        return jax.device_put(arr, sh)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

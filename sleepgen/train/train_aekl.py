@@ -39,7 +39,8 @@ from sleepgen.losses import (
     kl_gaussian,
 )
 from sleepgen.nn import AutoencoderKL, PatchDiscriminator
-from sleepgen.parallel import make_mesh, replicate, shard_batch
+from sleepgen.parallel import (make_mesh, prefetch_to_device,
+                               replicate, shard_batch)
 from sleepgen.utils import CheckpointManager, MetricsLogger, setup_run_dir
 
 
@@ -223,10 +224,11 @@ def train_aekl(
     for epoch in range(start_epoch, cfg.train.n_epochs):
         last_epoch = epoch
         epoch_metrics = []
-        for batch in train_ds.epoch_batches(
-            cfg.train.batch_size, np_rng, shuffle=False, pad_multiple=n_dev
+        for dev_batch in prefetch_to_device(
+            train_ds.epoch_batches(cfg.train.batch_size, np_rng,
+                                   shuffle=False, pad_multiple=n_dev),
+            mesh, dtype=dtype,
         ):
-            dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
             state, metrics = train_step(state, dev_batch, rng)
             epoch_metrics.append(metrics)
 

@@ -18,7 +18,8 @@ import optax
 from sleepgen.config import Config
 from sleepgen.data.dataset import WindowDataset
 from sleepgen.losses import jukebox_loss
-from sleepgen.parallel import make_mesh, replicate, shard_batch
+from sleepgen.parallel import (make_mesh, prefetch_to_device,
+                               replicate, shard_batch)
 from sleepgen.train.train_ldm import (
     DiffusionState,
     DiffusionTrainResult,
@@ -122,10 +123,11 @@ def train_dm(
     for epoch in range(cfg.train.n_epochs):
         last_epoch = epoch
         epoch_losses = []
-        for batch in train_ds.epoch_batches(
-            cfg.train.batch_size, np_rng, pad_multiple=n_dev
+        for dev_batch in prefetch_to_device(
+            train_ds.epoch_batches(cfg.train.batch_size, np_rng,
+                                   pad_multiple=n_dev),
+            mesh, dtype=dtype,
         ):
-            dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
             state, metrics = train_step(state, dev_batch, rng)
             epoch_losses.append(metrics["loss"])
         mean_loss = float(np.mean([jax.device_get(l) for l in epoch_losses]))

@@ -30,7 +30,8 @@ from sleepgen.config import Config
 from sleepgen.data.dataset import WindowDataset
 from sleepgen.diffusion import NoiseSchedule
 from sleepgen.nn import AutoencoderKL, UNet1d
-from sleepgen.parallel import make_mesh, replicate, shard_batch
+from sleepgen.parallel import (make_mesh, prefetch_to_device,
+                               replicate, shard_batch)
 from sleepgen.utils import CheckpointManager, MetricsLogger, setup_run_dir
 
 
@@ -244,10 +245,11 @@ def train_ldm(
     for epoch in range(start_epoch, cfg.train.n_epochs):
         last_epoch = epoch
         epoch_losses = []
-        for batch in train_ds.epoch_batches(
-            cfg.train.batch_size, np_rng, pad_multiple=n_dev
+        for dev_batch in prefetch_to_device(
+            train_ds.epoch_batches(cfg.train.batch_size, np_rng,
+                                   pad_multiple=n_dev),
+            mesh, dtype=dtype,
         ):
-            dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
             state, metrics = train_step(state, dev_batch, rng)
             epoch_losses.append(metrics["loss"])
 

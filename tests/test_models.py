@@ -139,3 +139,32 @@ def test_usleep_bottom_feature_shape():
     chans = usleep_channels(2, 12)
     assert bottom.shape == (2, 1, chans[-1])
     assert y.shape == (2, 5)
+
+
+def test_blockwise_attention_matches_full():
+    """Flash-style blockwise attention == full softmax attention."""
+    from sleepgen.nn.blockwise_attention import blockwise_attention
+
+    rng = np.random.default_rng(5)
+    b, l, h, d = 2, 128, 2, 8
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32)) * 0.5
+    k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32)) * 0.5
+    v = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+
+    logits = jnp.einsum("bihd,bjhd->bhij", q, k)
+    w = jax.nn.softmax(logits, axis=-1)
+    full = jnp.einsum("bhij,bjhd->bihd", w, v)
+
+    for block in (16, 32, 128):
+        blk = blockwise_attention(q, k, v, block)
+        np.testing.assert_allclose(np.asarray(blk), np.asarray(full),
+                                   rtol=1e-5, atol=1e-6)
+
+    # module-level wiring: long sequence with kv_block_size
+    m = SelfAttention1d(num_heads=2, zero_out=False, kv_block_size=32)
+    x = jnp.asarray(rng.normal(size=(1, 256, 16)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    m_full = SelfAttention1d(num_heads=2, zero_out=False)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(variables, x)),
+        np.asarray(m_full.apply(variables, x)), rtol=1e-4, atol=1e-5)
