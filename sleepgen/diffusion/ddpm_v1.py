@@ -14,7 +14,7 @@ never enables (original_elbo_weight 0.0 in all configs).
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ sample loop is the scan sampler from sleepgen.sample.
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

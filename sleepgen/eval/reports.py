@@ -10,8 +10,6 @@ dependency-free format).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
 from sleepgen.eval.psd import welch_psd

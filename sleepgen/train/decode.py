@@ -9,7 +9,7 @@ Re-designed as a jitted train step over the data mesh.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +17,7 @@ import numpy as np
 import optax
 
 from sleepgen.data.staging import balanced_class_weights
-from sleepgen.parallel import make_mesh, replicate, shard_batch
+from sleepgen.parallel import make_mesh, shard_batch
 
 
 def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,

@@ -18,7 +18,7 @@ same XLA program so the latents never round-trip to HBM-host.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
