@@ -109,9 +109,11 @@ class UNet1d(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     use_pallas_norm: bool = False
+    num_classes: int = 0  # >0: class-conditional (reference unet.py:379-380)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
+                 y: jnp.ndarray | None = None,
                  deterministic: bool = True) -> jnp.ndarray:
         mc = self.model_channels
         levels = len(self.channel_mult)
@@ -125,6 +127,11 @@ class UNet1d(nn.Module):
                        name="time_dense_1")(t_emb.astype(self.dtype))
         emb = nn.Dense(4 * mc, dtype=self.dtype, param_dtype=jnp.float32,
                        name="time_dense_2")(nn.silu(emb))
+        if self.num_classes:
+            # label embedding added to the time embedding (unet.py:531-533)
+            assert y is not None, "class-conditional model needs labels y"
+            emb = emb + nn.Embed(self.num_classes, 4 * mc, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="label_emb")(y)
 
         def res(h, e, out_ch, name, **kw):
             return TimestepResBlock(

@@ -168,3 +168,32 @@ def test_blockwise_attention_matches_full():
     np.testing.assert_allclose(
         np.asarray(m.apply(variables, x)),
         np.asarray(m_full.apply(variables, x)), rtol=1e-4, atol=1e-5)
+
+
+def test_unet1d_class_conditional():
+    """num_classes>0 adds a label embedding to the time embedding
+    (reference unet.py:379-380, 531-533)."""
+    m = UNet1d(model_channels=16, channel_mult=(1, 2), num_groups=8,
+               attention_resolutions=(2,), num_classes=5)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 1)), jnp.float32)
+    t = jnp.array([1, 900])
+    y = jnp.array([0, 4])
+    params = m.init(rng, x, t, y)
+    # un-zero every zero-init conv (resblock out_convs + final) so the
+    # label path reaches the output at init
+    import flax
+    params = flax.core.unfreeze(params)
+
+    def unzero(tree):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                unzero(v)
+            elif k == "kernel" and not np.any(np.asarray(v)):
+                tree[k] = jnp.full_like(v, 0.01)
+
+    unzero(params["params"])
+    out0 = m.apply(params, x, t, jnp.array([0, 0]))
+    out1 = m.apply(params, x, t, jnp.array([1, 1]))
+    assert out0.shape == (2, 64, 1)
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
