@@ -29,20 +29,31 @@ class ChambonFeatureExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """x: (B, T, C) -> flattened features (B, F)."""
+        """x: (B, T, C) -> flattened features (B, F).
+
+        torch semantics preserved for n_chans>1: the spatial conv mixes the
+        C inputs into V=n_chans virtual channels, and the temporal convs
+        are applied per virtual channel with SHARED weights (braindecode's
+        Conv2d with (1, k) kernels over a (B, 1, V, T) tensor). Feature
+        flattening follows torch's (channels, V, T') C-order so imported
+        fc weights line up.
+        """
         k = int(np.ceil(self.time_conv_size_s * self.sfreq))
         pool = max(1, int(np.ceil(self.max_pool_size_s * self.sfreq)))
         pad = int(np.ceil(self.pad_size_s * self.sfreq))
 
+        b, t, c = x.shape
         h = x.astype(self.dtype)
         if self.n_chans > 1:
-            # spatial conv: mix channels into n_chans virtual channels
+            # spatial conv: (B, T, C) -> (B, T, V)
             h = nn.Dense(self.n_chans, dtype=self.dtype, name="spatial")(h)
+        v = h.shape[-1]
+        # fold virtual channels into the batch: shared temporal filters
+        h = h.transpose(0, 2, 1).reshape(b * v, t, 1)
 
         def bn(name):
-            return (nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=jnp.float32, name=name)
-                    if self.apply_batch_norm else (lambda y: y))
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=jnp.float32, name=name)
 
         h = conv1d(self.n_conv_chs, k, padding=[(pad, pad)], dtype=self.dtype,
                    name="conv1")(h)
@@ -54,7 +65,9 @@ class ChambonFeatureExtractor(nn.Module):
         h = bn("bn2")(h) if self.apply_batch_norm else h
         h = nn.relu(h)
         h = nn.max_pool(h, (pool,), strides=(pool,), padding="VALID")
-        return h.reshape(h.shape[0], -1)
+        # (B*V, T', F) -> (B, F, V, T') to match torch flatten order
+        h = h.reshape(b, v, h.shape[1], h.shape[2]).transpose(0, 3, 1, 2)
+        return h.reshape(b, -1)
 
 
 class SleepStagerChambon2018(nn.Module):

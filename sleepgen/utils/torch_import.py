@@ -226,3 +226,89 @@ def import_aekl_v1(
         "post_quant_conv": _conv(sd, "post_quant_conv"),
     }
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# braindecode USleep -> sleepgen.nn.USleep (params + batch_stats)
+# ---------------------------------------------------------------------------
+def _bn_import(sd, prefix):
+    params = {"scale": _np(sd[f"{prefix}.weight"]),
+              "bias": _np(sd[f"{prefix}.bias"])}
+    stats = {"mean": _np(sd[f"{prefix}.running_mean"]),
+             "var": _np(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def import_usleep(state_dict: Dict[str, Any], depth: int = 12) -> Dict[str, Any]:
+    """braindecode/reference USleep state_dict (e.g. the pretrained
+    ``/project/params.pt`` used for FID features, compute_fid.py:367-370)
+    -> sleepgen USleep variables {'params', 'batch_stats'}."""
+    sd = strip_module_prefix(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def add_bn(name, prefix):
+        p, s = _bn_import(sd, prefix)
+        params[name] = p
+        stats[name] = s
+
+    for i in range(depth):
+        params[f"enc_{i}_conv"] = _conv(sd, f"encoder.{i}.block_prepool.0")
+        add_bn(f"enc_{i}_bn", f"encoder.{i}.block_prepool.2")
+    params["bottom_conv"] = _conv(sd, "bottom.0")
+    add_bn("bottom_bn", "bottom.2")
+    for i in range(depth):
+        params[f"dec_{i}_preskip_conv"] = _conv(sd, f"decoder.{i}.block_preskip.1")
+        add_bn(f"dec_{i}_preskip_bn", f"decoder.{i}.block_preskip.3")
+        params[f"dec_{i}_postskip_conv"] = _conv(sd, f"decoder.{i}.block_postskip.0")
+        add_bn(f"dec_{i}_postskip_bn", f"decoder.{i}.block_postskip.2")
+    params["clf_conv_1"] = _conv(sd, "clf.0")
+    params["clf_conv_2"] = _conv(sd, "clf.3")
+    params["clf_conv_3"] = _conv(sd, "clf.5")
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# braindecode SleepStagerChambon2018 -> sleepgen.nn.chambon
+# ---------------------------------------------------------------------------
+def import_chambon(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference decode checkpoints (outputs/sleep_stage_chambon*/
+    final_model.pth) -> SleepStagerChambon2018 variables. Handles the
+    2D-conv weight shapes: spatial_conv (V,1,C,1) -> Dense (C,V);
+    feature convs (F,1|F,1,k) -> conv1d (k,in,F)."""
+    sd = strip_module_prefix(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    fe: Dict[str, Any] = {}
+
+    if "spatial_conv.weight" in sd:
+        w = _np(sd["spatial_conv.weight"])  # (V, 1, C, 1)
+        fe["spatial"] = {"kernel": w[:, 0, :, 0].T,
+                         "bias": _np(sd["spatial_conv.bias"])}
+
+    def conv2d_1k(prefix):
+        w = _np(sd[f"{prefix}.weight"])  # (F, in, 1, k)
+        return {"kernel": w[:, :, 0, :].transpose(2, 1, 0),
+                "bias": _np(sd[f"{prefix}.bias"])}
+
+    fe["conv1"] = conv2d_1k("feature_extractor.0")
+    fe["conv2"] = conv2d_1k("feature_extractor.4")
+    fe_stats: Dict[str, Any] = {}
+    if "feature_extractor.1.running_mean" in sd:
+        p1, s1 = _bn_import(sd, "feature_extractor.1")
+        p2, s2 = _bn_import(sd, "feature_extractor.5")
+        fe["bn1"], fe["bn2"] = p1, p2
+        fe_stats = {"bn1": s1, "bn2": s2}
+
+    params["feature_extractor"] = fe
+    if fe_stats:
+        stats["feature_extractor"] = fe_stats
+    # head: 'final_layer.1' (b variant) or 'fc.1'
+    for head in ("final_layer.1", "fc.1", "fc"):
+        if f"{head}.weight" in sd:
+            params["fc"] = _dense(sd, head)
+            break
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out

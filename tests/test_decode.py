@@ -78,7 +78,7 @@ def test_chambon_shapes_and_learning():
     model = TimeDistributedStager(n_chans=1, sfreq=100, feat_dropout=0.0,
                                   head_dropout=0.0)
     res = train_decoder(model, (xs[:40], ys[:40]), (xs[40:], ys[40:]),
-                        n_epochs=6, batch_size=16)
+                        n_epochs=12, batch_size=16)
     assert res.confusion.sum() == len(ys[40:])
     assert res.best_valid_bal_acc > 0.5  # separable by frequency
 

@@ -116,3 +116,88 @@ def test_strip_module_prefix():
     assert set(strip_module_prefix(sd)) == {"a.weight", "b.bias"}
     sd2 = {"a.weight": 1}
     assert strip_module_prefix(sd2) == sd2
+
+
+def test_usleep_matches_reference_torch():
+    """USleep forward parity: reference torch model (eval mode, random
+    init incl. BN running stats) vs flax with imported weights."""
+    if not (REF / "models/usleep.py").exists():
+        pytest.skip("reference tree unavailable")
+    mod = _load_ref_module("ref_usleep", REF / "models/usleep.py")
+    from sleepgen.nn import USleep
+    from sleepgen.utils.torch_import import import_usleep
+
+    torch.manual_seed(2)
+    depth = 4
+    tm = mod.USleep(in_chans=2, sfreq=100, depth=depth, n_classes=5,
+                    input_size_s=30).eval()
+    # give BN stats non-trivial values
+    with torch.no_grad():
+        for m_ in tm.modules():
+            if isinstance(m_, torch.nn.BatchNorm1d):
+                m_.running_mean.uniform_(-0.5, 0.5)
+                m_.running_var.uniform_(0.5, 1.5)
+
+    x = np.random.default_rng(3).normal(size=(2, 2, 3000)).astype(np.float32)
+    with torch.no_grad():
+        y_t, dec_t, bottom_t = tm(torch.from_numpy(x))
+
+    fm = USleep(in_chans=2, sfreq=100, depth=depth, n_classes=5,
+                input_size_s=30)
+    variables = import_usleep(tm.state_dict(), depth=depth)
+    y_f, dec_f, bottom_f = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
+                                    train=False)
+    np.testing.assert_allclose(np.asarray(bottom_f).transpose(0, 2, 1),
+                               bottom_t.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y_f), y_t.numpy(), rtol=2e-3,
+                               atol=2e-4)
+
+
+def test_chambon_matches_reference_checkpoint():
+    """Forward parity against the reference's REAL trained checkpoint
+    (outputs/sleep_stage_chambon_b/final_model.pth — n_chans=2,
+    pad_size_s=0.1, apply_batch_norm=True): torch forward replayed with
+    functional ops vs our flax model with imported weights."""
+    ckpt = Path("/root/reference/outputs/sleep_stage_chambon_b/final_model.pth")
+    if not ckpt.exists():
+        pytest.skip("reference checkpoint unavailable")
+    sd = torch.load(ckpt, map_location="cpu")
+
+    import torch.nn.functional as F
+
+    def torch_forward(x):  # x: (B, C, T)
+        h = x.unsqueeze(1)  # (B,1,C,T)
+        h = F.conv2d(h, sd["spatial_conv.weight"], sd["spatial_conv.bias"])
+        h = h.transpose(1, 2)  # (B,1',V? ...) -> braindecode transposes to (B,1,V,T)
+        h = F.conv2d(h, sd["feature_extractor.0.weight"],
+                     sd["feature_extractor.0.bias"], padding=(0, 10))
+        h = F.batch_norm(h, sd["feature_extractor.1.running_mean"],
+                         sd["feature_extractor.1.running_var"],
+                         sd["feature_extractor.1.weight"],
+                         sd["feature_extractor.1.bias"], training=False)
+        h = F.relu(h)
+        h = F.max_pool2d(h, (1, 13))
+        h = F.conv2d(h, sd["feature_extractor.4.weight"],
+                     sd["feature_extractor.4.bias"], padding=(0, 10))
+        h = F.batch_norm(h, sd["feature_extractor.5.running_mean"],
+                         sd["feature_extractor.5.running_var"],
+                         sd["feature_extractor.5.weight"],
+                         sd["feature_extractor.5.bias"], training=False)
+        h = F.relu(h)
+        h = F.max_pool2d(h, (1, 13))
+        h = h.flatten(start_dim=1)
+        return h @ sd["final_layer.1.weight"].T + sd["final_layer.1.bias"]
+
+    x = np.random.default_rng(4).normal(size=(2, 2, 3000)).astype(np.float32)
+    with torch.no_grad():
+        want = torch_forward(torch.from_numpy(x)).numpy()
+
+    from sleepgen.nn.chambon import SleepStagerChambon2018
+    from sleepgen.utils.torch_import import import_chambon
+
+    fm = SleepStagerChambon2018(n_chans=2, sfreq=100, apply_batch_norm=True,
+                                pad_size_s=0.1)
+    variables = import_chambon(sd)
+    got = np.asarray(fm.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
+                              train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
