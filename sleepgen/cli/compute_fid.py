@@ -16,13 +16,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--usleep_checkpoint", type=str, default=None,
                    help="orbax dir of trained USleep variables; random init "
                         "(seeded) when absent")
+    p.add_argument("--usleep_torch_params", type=str, default=None,
+                   help="torch .pt state_dict (the reference's pretrained "
+                        "/project/params.pt, compute_fid.py:367-370)")
     p.add_argument("--dataset", type=str, default="edfx")
     p.add_argument("--seed", type=int, default=2)
     p.add_argument("--batch_size", type=int, default=256)
     return p
 
 
-def load_usleep(checkpoint: str | None, seed: int = 0):
+def load_usleep(checkpoint: str | None, seed: int = 0,
+                torch_params: str | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +37,14 @@ def load_usleep(checkpoint: str | None, seed: int = 0):
     x = jnp.zeros((1, 3000, 2))
     variables = jax.jit(lambda k, x: m.init(k, x, train=False))(
         jax.random.PRNGKey(seed), x)
-    if checkpoint:
+    if torch_params:
+        import torch
+
+        from sleepgen.utils.torch_import import import_usleep
+
+        sd = torch.load(torch_params, map_location="cpu")
+        variables = import_usleep(sd, depth=12)
+    elif checkpoint:
         ckpt = CheckpointManager(checkpoint)
         variables = ckpt.restore_best(jax.device_get(variables), name="usleep")
         ckpt.close()
@@ -51,7 +62,8 @@ def main(argv=None):
     ds = load_split(args.path_test_ids, args.path_pre_processed, args.dataset)
     windows = center_crop_valid(ds.epoch_windows(np.random.default_rng(args.seed)))
 
-    m, variables = load_usleep(args.usleep_checkpoint, args.seed)
+    m, variables = load_usleep(args.usleep_checkpoint, args.seed,
+                               args.usleep_torch_params)
 
     if args.sample_dir:
         files = sorted(glob(f"{args.sample_dir}/sample_*.npy"))
