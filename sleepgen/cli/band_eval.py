@@ -61,6 +61,9 @@ def _load_samples(args):
 
 
 def main(argv=None):
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from sleepgen.eval import EEG_BANDS, filter_band, ms_ssim_1d

@@ -52,6 +52,9 @@ def load_usleep(checkpoint: str | None, seed: int = 0,
 
 
 def main(argv=None):
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     import numpy as np
 
     from sleepgen.data import load_split

@@ -22,6 +22,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from pathlib import Path
 
     import jax

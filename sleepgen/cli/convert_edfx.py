@@ -20,6 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from sleepgen.data.ingest import convert_edfx_recording
 
     args = build_parser().parse_args(argv)

@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     import pandas as pd
 
     from sleepgen.data.edf import read_edf

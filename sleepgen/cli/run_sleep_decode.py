@@ -52,6 +52,9 @@ def load_staged_dataset(data_dir: Path, channel: str):
 
 
 def main(argv=None):
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     import json
 
     from sleepgen.data.staging import center_label, sequence_indices

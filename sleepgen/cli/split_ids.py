@@ -6,6 +6,9 @@ import argparse
 
 
 def main(argv=None):
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from sleepgen.data.splits import write_splits
 
     p = argparse.ArgumentParser(description=__doc__)

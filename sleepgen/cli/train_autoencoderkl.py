@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from sleepgen.config import load_config
     from sleepgen.data import load_split
     from sleepgen.train.train_aekl import train_aekl

@@ -1,0 +1,127 @@
+"""Serving: a warm, pre-compiled sampling service.
+
+The reference's "serving" story is re-running sample_trials.py per batch
+of seeds (compile + model load every invocation). For production
+deployment sleepgen keeps one process-resident service: models load once,
+the DDIM sampler is compiled once per (batch_size) shape, requests batch
+seeds and return cropped signals (and optional PSDs). Works the same on
+CPU and TPU; pairs with utils/checkpoint + torch_import so either
+sleepgen- or reference-trained weights can be served.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleepgen.config import Config
+from sleepgen.sample.sample_ldm import make_ldm_sampler, sampling_schedule
+from sleepgen.train.train_aekl import build_models
+from sleepgen.train.train_ldm import build_unet
+
+
+@dataclass
+class SamplerService:
+    """Process-resident LDM sampling service.
+
+    >>> svc = SamplerService.from_run_dirs(aekl_dir, ldm_dir)
+    >>> signals = svc.sample(seeds=range(256))        # (256, 3000, 1)
+    """
+
+    cfg: Config
+    aekl_cfg: Config
+    unet_params: dict
+    ae_params: dict
+    scale_factor: float
+    batch_size: int = 128
+    base_seed: int = 0
+    border_pad: int = 36
+    _samplers: Dict[int, object] = field(default_factory=dict, repr=False)
+    stats: Dict[str, float] = field(default_factory=dict, repr=False)
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_run_dirs(cls, aekl_run_dir: str | Path, ldm_run_dir: str | Path,
+                      batch_size: int = 128, **kw) -> "SamplerService":
+        from sleepgen.train.train_aekl import init_state
+        from sleepgen.utils import CheckpointManager
+
+        aekl_cfg = Config.from_yaml(Path(aekl_run_dir) / "config.yaml")
+        cfg = Config.from_yaml(Path(ldm_run_dir) / "config.yaml")
+
+        state0, *_ = init_state(aekl_cfg, jax.random.PRNGKey(0))
+        ckpt = CheckpointManager(aekl_run_dir)
+        ae_params = ckpt.restore_best(jax.device_get(state0.params_g))
+        ckpt.close()
+
+        lc = aekl_cfg.aekl.latent_channels
+        unet = build_unet(cfg, lc, lc, jnp.float32)
+        z0 = jnp.zeros((2, cfg.unet.image_size, lc), jnp.float32)
+        tpl = {"params": jax.device_get(unet.init(
+            jax.random.PRNGKey(0), z0, jnp.zeros((2,), jnp.int32))["params"]),
+            "scale_factor": np.zeros((), np.float32)}
+        ckpt2 = CheckpointManager(ldm_run_dir)
+        best = ckpt2.restore_best(tpl)
+        ckpt2.close()
+        return cls(cfg=cfg, aekl_cfg=aekl_cfg, unet_params=best["params"],
+                   ae_params=ae_params,
+                   scale_factor=float(best["scale_factor"]),
+                   batch_size=batch_size, **kw)
+
+    # -- internals -----------------------------------------------------------
+    def _sampler(self, batch: int):
+        if batch not in self._samplers:
+            dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+            ae, _ = build_models(self.aekl_cfg, dtype)
+            lc = self.aekl_cfg.aekl.latent_channels
+            unet = build_unet(self.cfg, lc, lc, dtype)
+            sched = sampling_schedule(self.cfg)
+            self._samplers[batch] = make_ldm_sampler(
+                unet, ae, sched, self.cfg.unet.image_size, lc,
+                self.cfg.diffusion.num_inference_steps,
+                border_pad=self.border_pad)
+        return self._samplers[batch]
+
+    def warmup(self) -> float:
+        """Compile the sampler ahead of traffic; returns compile seconds."""
+        t0 = time.perf_counter()
+        self.sample(range(self.batch_size))
+        return time.perf_counter() - t0
+
+    # -- API -----------------------------------------------------------------
+    def sample(self, seeds: Sequence[int],
+               base_key: Optional[jax.Array] = None) -> np.ndarray:
+        """Generate windows for the given seeds -> (N, window, 1) float32.
+        Per-seed deterministic (same contract as sample_trials)."""
+        seeds = np.asarray(list(seeds), np.int32)
+        key = base_key if base_key is not None else jax.random.PRNGKey(self.base_seed)
+        sampler = self._sampler(self.batch_size)
+        sf = jnp.float32(self.scale_factor)
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(0, len(seeds), self.batch_size):
+            chunk = seeds[i : i + self.batch_size]
+            padded = (np.concatenate(
+                [chunk, np.full(self.batch_size - len(chunk), chunk[-1], np.int32)])
+                if len(chunk) < self.batch_size else chunk)
+            sig = sampler(self.unet_params, self.ae_params, sf, key,
+                          jnp.asarray(padded))
+            outs.append(np.asarray(jax.device_get(sig))[: len(chunk)])
+        out = np.concatenate(outs, axis=0)
+        dt = time.perf_counter() - t0
+        self.stats = {"last_windows": len(seeds), "last_sec": dt,
+                      "last_windows_per_sec": len(seeds) / dt}
+        return out
+
+    def sample_with_psd(self, seeds: Sequence[int]):
+        """(signals, psds_db, freqs) — the full sample_trials artifact set."""
+        from sleepgen.eval.psd import welch_psd_db
+
+        sigs = self.sample(seeds)
+        psds, freqs = welch_psd_db(sigs[..., 0], fmax=18.0)
+        return sigs, psds, freqs

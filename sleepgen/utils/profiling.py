@@ -71,3 +71,14 @@ def enable_nan_debugging(enable: bool = True) -> None:
     """config.debug_nans: every jit output checked for NaN (slow; use to
     localize spectral-loss explosions, README.md:18)."""
     jax.config.update("jax_debug_nans", enable)
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Persistent XLA compilation cache — cuts cold-start compiles for the
+    big graphs (200-step sampler scan, fused G/D step) across processes."""
+    import os
+
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/sleepgen/jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
