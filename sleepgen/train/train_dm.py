@@ -118,9 +118,12 @@ def train_dm(
     n_dev = mesh.devices.size
     best_loss = float(jax.device_get(state.best_loss))
     stopped_on_nan = False
-    last_epoch = 0
+    steps_per_epoch = max(1, (len(train_ds) + cfg.train.batch_size - 1)
+                          // cfg.train.batch_size)
+    start_epoch = int(jax.device_get(state.step)) // steps_per_epoch
+    last_epoch = start_epoch
 
-    for epoch in range(cfg.train.n_epochs):
+    for epoch in range(start_epoch, cfg.train.n_epochs):
         last_epoch = epoch
         epoch_losses = []
         for dev_batch in prefetch_to_device(

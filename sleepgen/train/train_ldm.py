@@ -196,7 +196,12 @@ def train_ldm(
 
     best_loss = float(jax.device_get(state.best_loss))
     stopped_on_nan = False
-    last_epoch = 0
+    # resume from the restored step (the reference's LDM resume left
+    # start_epoch/best_loss unloaded — train_ldm.py:210-211 — fixed here)
+    steps_per_epoch = max(1, (len(train_ds) + cfg.train.batch_size - 1)
+                          // cfg.train.batch_size)
+    start_epoch = int(jax.device_get(state.step)) // steps_per_epoch
+    last_epoch = start_epoch
 
     def run_eval(epoch, sample=False):
         losses = []
@@ -239,9 +244,8 @@ def train_ldm(
         np.save(run_dir / f"sample_noscale_unconditioned_{epoch}.npy",
                 to_bcl(np.asarray(jax.device_get(x_raw))))
 
-    run_eval(0)  # eval-first (training.py:337-348)
+    run_eval(start_epoch)  # eval-first (training.py:337-348)
 
-    start_epoch = 0
     for epoch in range(start_epoch, cfg.train.n_epochs):
         last_epoch = epoch
         epoch_losses = []
