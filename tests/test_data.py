@@ -75,3 +75,21 @@ def test_split_matches_sklearn():
 def test_layout_converters_roundtrip():
     x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)  # (B, C, L)
     np.testing.assert_array_equal(to_bcl(to_blc(x)), x)
+
+
+def test_split_matches_published_reference_splits():
+    """Our subject split reproduces the reference's SHIPPED split CSVs
+    exactly (data/ids/ids_sleep_edfx_cassette_double_{train,valid,test}.csv)."""
+    import pytest
+    from pathlib import Path
+    import pandas as pd
+
+    base = Path("/root/reference/data/ids/ids_sleep_edfx_cassette_double")
+    if not base.with_suffix(".csv").exists():
+        pytest.skip("reference tree unavailable")
+    df = pd.read_csv(base.with_suffix(".csv"))
+    tr, va, te = split_subjects(df)
+    for name, got in [("train", tr), ("valid", va), ("test", te)]:
+        want = pd.read_csv(f"{base}_{name}.csv")
+        assert set(got["subject"]) == set(want["subject"]), name
+        assert len(got) == len(want), name
