@@ -92,7 +92,10 @@ def train_decoder(
             out, mut = model.apply(
                 {"params": p, "batch_stats": batch_stats}, x, train=True,
                 rngs={"dropout": key}, mutable=["batch_stats"])
-            return weighted_cross_entropy(out, y, class_w), mut["batch_stats"]
+            # models without BatchNorm (e.g. Chambon without apply_batch_norm)
+            # produce no batch_stats collection
+            return (weighted_cross_entropy(out, y, class_w),
+                    mut.get("batch_stats", {}))
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, new_opt = opt.update(grads, opt_state, params)
