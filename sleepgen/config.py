@@ -127,6 +127,7 @@ class DiffusionConfig:
     sample_beta_end: float = 0.0205
     sample_prediction_type: str = "v_prediction"
     num_inference_steps: int = 200
+    ema_decay: float = 0.0  # >0 enables EMA of UNet params (beyond-parity)
 
 
 @dataclass

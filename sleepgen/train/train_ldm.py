@@ -42,6 +42,9 @@ class DiffusionState:
     opt: Any
     best_loss: jnp.ndarray
     scale_factor: jnp.ndarray
+    # EMA of params when cfg.diffusion.ema_decay > 0 (sampling-quality
+    # improvement beyond the reference, which keeps raw params only)
+    ema_params: Any = None
 
 
 def build_unet(cfg: Config, in_channels: int, out_channels: int, dtype) -> UNet1d:
@@ -80,7 +83,7 @@ def compute_scale_factor(ae: AutoencoderKL, params_g, batch: jnp.ndarray,
 
 
 def make_ldm_train_step(unet: UNet1d, ae: AutoencoderKL, params_g,
-                        sched: NoiseSchedule, opt):
+                        sched: NoiseSchedule, opt, ema_decay: float = 0.0):
     def train_step(state: DiffusionState, batch: jnp.ndarray, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
         k_enc, k_t, k_noise = jax.random.split(step_rng, 3)
@@ -105,6 +108,11 @@ def make_ldm_train_step(unet: UNet1d, ae: AutoencoderKL, params_g,
         updates, new_opt = opt.update(grads, state.opt, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params, opt=new_opt)
+        if ema_decay > 0.0 and state.ema_params is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state.ema_params, new_params)
+            new_state = new_state.replace(ema_params=new_ema)
         return new_state, {"loss": loss}
 
     return jax.jit(train_step, donate_argnums=(0,))
@@ -178,12 +186,17 @@ def train_ldm(
     z0 = jnp.zeros((2, latent_len, latent_channels), jnp.float32)
     params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
     opt = optax.adam(cfg.train.base_lr)
+    ema_decay = cfg.diffusion.ema_decay
     state = DiffusionState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt=opt.init(params),
         best_loss=jnp.asarray(jnp.inf, jnp.float32),
         scale_factor=scale_factor,
+        # distinct buffers: params and ema_params live in one donated
+        # pytree, so aliased arrays would be donated twice
+        ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                    if ema_decay > 0.0 else None),
     )
     if resume:
         restored = ckpt.restore_latest(jax.device_get(state))
@@ -191,7 +204,8 @@ def train_ldm(
             state = restored
     state = replicate(mesh, state)
 
-    train_step = make_ldm_train_step(unet, ae, stage1_params, sched, opt)
+    train_step = make_ldm_train_step(unet, ae, stage1_params, sched, opt,
+                                     ema_decay=ema_decay)
     eval_step = make_ldm_eval_step(unet, ae, stage1_params, sched)
 
     best_loss = float(jax.device_get(state.best_loss))
@@ -272,15 +286,19 @@ def train_ldm(
             if val_loss <= best_loss:
                 best_loss = val_loss
                 state = state.replace(best_loss=jnp.asarray(best_loss))
+                best_params = (state.ema_params if ema_decay > 0.0
+                               else state.params)
                 ckpt.save_best(
-                    {"params": jax.device_get(state.params),
+                    {"params": jax.device_get(best_params),
                      "scale_factor": jax.device_get(state.scale_factor)})
 
     host_state = jax.device_get(state)
     if not stopped_on_nan:
         ckpt.save(int(host_state.step), host_state)
+    final_params = (host_state.ema_params if ema_decay > 0.0
+                    else host_state.params)
     ckpt.save_best(
-        {"params": host_state.params, "scale_factor": host_state.scale_factor},
+        {"params": final_params, "scale_factor": host_state.scale_factor},
         name="final_model")
     ckpt.close()
     logger_t.close()

@@ -75,3 +75,43 @@ def test_v_prediction_training_path():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_ema_tracking():
+    """cfg.diffusion.ema_decay > 0 maintains an EMA of UNet params that
+    lags raw params toward the init."""
+    from sleepgen.train.train_ldm import DiffusionState, make_schedule
+    from sleepgen.train.train_dm import make_dm_train_step
+    from sleepgen.train.train_ldm import make_ldm_train_step
+    from sleepgen.config import Config
+    from sleepgen.train.train_aekl import init_state
+
+    cfg = Config()
+    cfg.aekl.num_channels = [2, 2, 4]
+    sched = make_schedule(cfg)
+    rng = jax.random.PRNGKey(0)
+    state_ae, ae, *_ = init_state(cfg, rng, window=256)
+    unet = _mini_unet(jnp.float32)
+    z0 = jnp.zeros((2, 64, 1))
+    params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+    opt = optax.adam(1e-2)
+    state = DiffusionState(
+        step=jnp.zeros((), jnp.int32), params=params, opt=opt.init(params),
+        best_loss=jnp.asarray(jnp.inf, jnp.float32),
+        scale_factor=jnp.asarray(1.0, jnp.float32),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params))
+    step = make_ldm_train_step(unet, ae, state_ae.params_g, sched, opt,
+                               ema_decay=0.9)
+    k = ("time_dense_1", "kernel")
+    init = np.asarray(params[k[0]][k[1]]).copy()  # before donation
+    batch = jnp.asarray(np.random.default_rng(0).random((4, 256, 1)), jnp.float32)
+    for _ in range(5):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    # EMA must differ from raw params and sit between init and raw
+    raw = np.asarray(state.params[k[0]][k[1]])
+    ema = np.asarray(state.ema_params[k[0]][k[1]])
+    assert not np.allclose(raw, ema)
+    d_ema = np.abs(ema - init).mean()
+    d_raw = np.abs(raw - init).mean()
+    assert d_ema < d_raw  # EMA lags behind
