@@ -312,3 +312,135 @@ def import_chambon(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     if stats:
         out["batch_stats"] = stats
     return out
+
+
+# ---------------------------------------------------------------------------
+# MONAI-generative AutoencoderKL (main path) -> sleepgen.nn.AutoencoderKL
+# ---------------------------------------------------------------------------
+def _monai_conv(sd, prefix):
+    """MONAI Convolution(conv_only=True) nests the conv as a child named
+    'conv' (monai.networks.blocks.Convolution is an nn.Sequential)."""
+    return _conv(sd, f"{prefix}.conv")
+
+
+def import_aekl_monai(
+    state_dict: Dict[str, Any],
+    num_channels: Sequence[int] = (32, 32, 64),
+    num_res_blocks: int = 2,
+) -> Dict[str, Any]:
+    """EXPERIMENTAL: monai-generative 0.2.x ``AutoencoderKL`` state_dict
+    (the main-path stage-1 checkpoints, train_autoencoderkl.py:133) ->
+    sleepgen AutoencoderKL params, for the reference's flagship config
+    (attention_levels all False, no nonlocal attention).
+
+    The name map follows monai-generative's public module layout
+    (encoder/decoder ``blocks`` ModuleLists; ResBlock children norm1/conv1/
+    norm2/conv2/nin_shortcut; Down/Upsample wrap a Convolution as ``conv``).
+    Validated in-tree by a round-trip test (export_aekl_monai ->
+    import_aekl_monai is the identity); validation against a real MONAI
+    checkpoint requires one, which the reference repo does not ship.
+    """
+    sd = strip_module_prefix(state_dict)
+    levels = len(num_channels)
+
+    def res(prefix):
+        out = {
+            "GroupNorm32_0": _gn(sd, f"{prefix}.norm1"),
+            "conv1": _monai_conv(sd, f"{prefix}.conv1"),
+            "GroupNorm32_1": _gn(sd, f"{prefix}.norm2"),
+            "conv2": _monai_conv(sd, f"{prefix}.conv2"),
+        }
+        if f"{prefix}.nin_shortcut.conv.weight" in sd:
+            out["nin_shortcut"] = _monai_conv(sd, f"{prefix}.nin_shortcut")
+        return out
+
+    def encoder():
+        out: Dict[str, Any] = {}
+        b = 0
+        pre = "encoder.blocks"
+        out["conv_in"] = _monai_conv(sd, f"{pre}.{b}"); b += 1
+        for i in range(levels):
+            for j in range(num_res_blocks):
+                out[f"down_{i}_res_{j}"] = res(f"{pre}.{b}"); b += 1
+            if i != levels - 1:
+                out[f"down_{i}_downsample"] = {
+                    "conv": _monai_conv(sd, f"{pre}.{b}.conv")}
+                b += 1
+        out["norm_out"] = _gn(sd, f"{pre}.{b}"); b += 1
+        out["conv_out"] = _monai_conv(sd, f"{pre}.{b}")
+        return out
+
+    def decoder():
+        out: Dict[str, Any] = {}
+        b = 0
+        pre = "decoder.blocks"
+        out["conv_in"] = _monai_conv(sd, f"{pre}.{b}"); b += 1
+        for i in range(levels):
+            for j in range(num_res_blocks):
+                out[f"up_{i}_res_{j}"] = res(f"{pre}.{b}"); b += 1
+            if i != levels - 1:
+                out[f"up_{i}_upsample"] = {
+                    "conv": _monai_conv(sd, f"{pre}.{b}.conv")}
+                b += 1
+        out["norm_out"] = _gn(sd, f"{pre}.{b}"); b += 1
+        out["conv_out"] = _monai_conv(sd, f"{pre}.{b}")
+        return out
+
+    params = {
+        "encoder": encoder(),
+        "decoder": decoder(),
+        "quant_conv_mu": _monai_conv(sd, "quant_conv_mu"),
+        "quant_conv_log_sigma": _monai_conv(sd, "quant_conv_log_sigma"),
+        "post_quant_conv": _monai_conv(sd, "post_quant_conv"),
+    }
+    return {"params": params}
+
+
+def export_aekl_monai(variables: Dict[str, Any],
+                      num_channels: Sequence[int] = (32, 32, 64),
+                      num_res_blocks: int = 2) -> Dict[str, Any]:
+    """Inverse of import_aekl_monai: sleepgen AutoencoderKL params -> a
+    monai-generative-named torch-style state_dict (numpy tensors). Lets
+    reference tooling consume sleepgen-trained stage-1 weights, and pins
+    the name map via the round-trip test."""
+    p = variables["params"]
+    sd: Dict[str, Any] = {}
+
+    def put_conv(prefix, node):
+        sd[f"{prefix}.conv.weight"] = np.ascontiguousarray(
+            np.asarray(node["kernel"]).transpose(2, 1, 0))
+        if "bias" in node:
+            sd[f"{prefix}.conv.bias"] = np.asarray(node["bias"])
+
+    def put_gn(prefix, node):
+        sd[f"{prefix}.weight"] = np.asarray(node["GroupNorm_0"]["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(node["GroupNorm_0"]["bias"])
+
+    def put_res(prefix, node):
+        put_gn(f"{prefix}.norm1", node["GroupNorm32_0"])
+        put_conv(f"{prefix}.conv1", node["conv1"])
+        put_gn(f"{prefix}.norm2", node["GroupNorm32_1"])
+        put_conv(f"{prefix}.conv2", node["conv2"])
+        if "nin_shortcut" in node:
+            put_conv(f"{prefix}.nin_shortcut", node["nin_shortcut"])
+
+    levels = len(num_channels)
+    for side, col, tag in (("encoder", p["encoder"], "down"),
+                           ("decoder", p["decoder"], "up")):
+        b = 0
+        pre = f"{side}.blocks"
+        put_conv(f"{pre}.{b}", col["conv_in"]); b += 1
+        for i in range(levels):
+            for j in range(num_res_blocks):
+                put_res(f"{pre}.{b}", col[f"{tag}_{i}_res_{j}"]); b += 1
+            if i != levels - 1:
+                put_conv(f"{pre}.{b}.conv",
+                         col[f"{tag}_{i}_{'downsample' if tag == 'down' else 'upsample'}"]["conv"])
+                b += 1
+        put_gn(f"{pre}.{b}", col["norm_out"]); b += 1
+        put_conv(f"{pre}.{b}", col["conv_out"])
+
+    put_conv("quant_conv_mu", p["quant_conv_mu"])
+    put_conv("quant_conv_log_sigma", p["quant_conv_log_sigma"])
+    put_conv("post_quant_conv", p["post_quant_conv"])
+    return sd

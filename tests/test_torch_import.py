@@ -201,3 +201,33 @@ def test_chambon_matches_reference_checkpoint():
     got = np.asarray(fm.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
                               train=False))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_monai_aekl_name_map_roundtrip():
+    """export_aekl_monai -> import_aekl_monai is the identity on the
+    flagship AutoencoderKL param tree (pins the monai-generative name map
+    and the full key coverage)."""
+    from sleepgen.nn import AutoencoderKL
+    from sleepgen.utils.torch_import import export_aekl_monai, import_aekl_monai
+
+    m = AutoencoderKL(num_channels=(4, 4, 8), latent_channels=3)
+    x = jnp.zeros((1, 256, 1))
+    rng = jax.random.PRNGKey(0)
+    variables = {"params": jax.device_get(
+        m.init({"params": rng}, x, rng)["params"])}
+
+    sd = export_aekl_monai(variables, num_channels=(4, 4, 8))
+    back = import_aekl_monai(sd, num_channels=(4, 4, 8))
+
+    flat_a = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(variables)}
+    flat_b = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert set(flat_a) == set(flat_b), (
+        sorted(set(flat_a) ^ set(flat_b))[:6])
+    for k in flat_a:
+        np.testing.assert_allclose(flat_a[k], flat_b[k], rtol=1e-6, err_msg=k)
+
+    # the imported tree must run
+    out = m.apply(back, x, rng)
+    assert out[0].shape == (1, 256, 1)
