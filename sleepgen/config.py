@@ -128,6 +128,7 @@ class DiffusionConfig:
     sample_prediction_type: str = "v_prediction"
     num_inference_steps: int = 200
     ema_decay: float = 0.0  # >0 enables EMA of UNet params (beyond-parity)
+    sampler: str = "ddim"  # "ddim" (parity) | "dpm++2m" (20-30 steps)
 
 
 @dataclass

@@ -40,9 +40,11 @@ def make_ldm_sampler(
     latent_channels: int = 1,
     num_inference_steps: int = 200,
     border_pad: int = BORDER_PAD,
+    sampler: str = "ddim",
 ):
     """Returns jitted (unet_params, ae_params, scale_factor, base_key, seeds)
-    -> (B, 3000, 1) signals."""
+    -> (B, 3000, 1) signals. ``sampler``: "ddim" (reference parity) or
+    "dpm++2m" (DPM-Solver++ 2M — same quality in ~10x fewer steps)."""
 
     @jax.jit
     def sample(unet_params, ae_params, scale_factor, base_key, seeds):
@@ -51,7 +53,13 @@ def make_ldm_sampler(
         def model_fn(x, t):
             return unet.apply({"params": unet_params}, x, t)
 
-        z = ddim_sample_loop(model_fn, sched, x_T, num_inference_steps)
+        if sampler == "dpm++2m":
+            from sleepgen.diffusion.dpm_solver import dpm_solver_pp_2m_sample_loop
+
+            z = dpm_solver_pp_2m_sample_loop(model_fn, sched, x_T,
+                                             num_inference_steps)
+        else:
+            z = ddim_sample_loop(model_fn, sched, x_T, num_inference_steps)
         signal = ae.apply({"params": ae_params}, z / scale_factor,
                           method=AutoencoderKL.decode_stage_2_outputs)
         return signal.astype(jnp.float32)[:, border_pad:-border_pad, :]
@@ -129,7 +137,8 @@ def sample_ldm_trials(
     sampler = make_ldm_sampler(unet, ae, sched, latent_len=cfg.unet.image_size,
                                latent_channels=lc,
                                num_inference_steps=cfg.diffusion.num_inference_steps,
-                               border_pad=border_pad)
+                               border_pad=border_pad,
+                               sampler=cfg.diffusion.sampler)
     base_key = base_key if base_key is not None else jax.random.PRNGKey(0)
     sf = jnp.asarray(scale_factor, jnp.float32)
 
