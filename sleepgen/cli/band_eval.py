@@ -61,8 +61,10 @@ def _load_samples(args):
 
 
 def main(argv=None):
-    from sleepgen.utils.profiling import enable_compilation_cache
+    from sleepgen.utils.profiling import (enable_compilation_cache,
+                                          maybe_initialize_multihost)
 
+    maybe_initialize_multihost()
     enable_compilation_cache()
     import jax.numpy as jnp
 

@@ -52,8 +52,10 @@ def load_usleep(checkpoint: str | None, seed: int = 0,
 
 
 def main(argv=None):
-    from sleepgen.utils.profiling import enable_compilation_cache
+    from sleepgen.utils.profiling import (enable_compilation_cache,
+                                          maybe_initialize_multihost)
 
+    maybe_initialize_multihost()
     enable_compilation_cache()
     import numpy as np
 

@@ -33,8 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    from sleepgen.utils.profiling import enable_compilation_cache
+    from sleepgen.utils.profiling import (enable_compilation_cache,
+                                          maybe_initialize_multihost)
 
+    maybe_initialize_multihost()
     enable_compilation_cache()
     import pandas as pd
 

@@ -6,8 +6,10 @@ import argparse
 
 
 def main(argv=None):
-    from sleepgen.utils.profiling import enable_compilation_cache
+    from sleepgen.utils.profiling import (enable_compilation_cache,
+                                          maybe_initialize_multihost)
 
+    maybe_initialize_multihost()
     enable_compilation_cache()
     from sleepgen.data.splits import write_splits
 

@@ -82,3 +82,15 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def maybe_initialize_multihost() -> None:
+    """jax.distributed.initialize when SLEEPGEN_MULTIHOST=1 — the multi-host
+    entry used by scripts/launch_multihost.sh (TPU pods auto-discover the
+    coordinator)."""
+    import os
+
+    if os.environ.get("SLEEPGEN_MULTIHOST") == "1":
+        from sleepgen.parallel import initialize_distributed
+
+        initialize_distributed()
