@@ -41,7 +41,15 @@ class CheckpointManager:
         step = self._mgr.latest_step()
         if step is None:
             return None
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        except Exception:
+            # checkpoint-format evolution: older checkpoints may lack newly
+            # added state fields (e.g. ema_params). Restore the raw tree and
+            # merge it over the template, keeping template defaults for
+            # fields the checkpoint predates.
+            raw = self._mgr.restore(step)
+            return _merge_into(template, raw)
 
     @property
     def latest_step(self) -> Optional[int]:
@@ -61,3 +69,33 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def _merge_into(template: Any, raw: Any) -> Any:
+    """Overlay a restored raw pytree (dicts/arrays) onto a typed template,
+    keeping template values for fields absent from the checkpoint."""
+    if raw is None:
+        return template
+    if isinstance(raw, dict):
+        if hasattr(template, "_fields"):  # NamedTuple (optax states)
+            return type(template)(*[
+                _merge_into(getattr(template, f), raw[f]) if f in raw
+                else getattr(template, f)
+                for f in template._fields
+            ])
+        if hasattr(template, "replace") and not isinstance(template, dict):
+            # flax.struct dataclass
+            updates = {
+                k: _merge_into(getattr(template, k), v)
+                for k, v in raw.items() if hasattr(template, k)
+            }
+            return template.replace(**updates)
+        if isinstance(template, dict) or template is None or not raw:
+            base = dict(template) if isinstance(template, dict) else {}
+            for k, v in raw.items():
+                base[k] = _merge_into(base.get(k), v)
+            return base
+    if isinstance(raw, (list, tuple)) and isinstance(template, (list, tuple)):
+        return type(template)(
+            _merge_into(t, r) for t, r in zip(template, raw))
+    return raw

@@ -130,3 +130,45 @@ def test_end_to_end_aekl_ldm_sample(tiny_cfg, tiny_ds):
                                kernel_size=7))
     assert ms.shape == (k,)
     assert np.all(np.isfinite(ms))
+
+
+def test_checkpoint_forward_compat_merge(tmp_path):
+    """Old checkpoints (missing newly added state fields) restore via the
+    merge fallback: restored fields come from disk, new fields keep
+    template defaults — incl. optax NamedTuple states."""
+    import optax
+    from flax import struct
+    from sleepgen.utils.checkpoint import CheckpointManager
+
+    @struct.dataclass
+    class OldState:
+        step: jnp.ndarray
+        params: dict
+        opt: object
+
+    @struct.dataclass
+    class NewState:
+        step: jnp.ndarray
+        params: dict
+        opt: object
+        extra: object = None
+
+    params = {"w": jnp.arange(4.0)}
+    opt = optax.adam(1e-3).init(params)
+    old = OldState(step=jnp.asarray(7), params=params, opt=opt)
+    ckpt = CheckpointManager(tmp_path / "run")
+    ckpt.save(7, jax.device_get(old))
+
+    new_tpl = NewState(step=jnp.asarray(0),
+                       params={"w": jnp.zeros(4)},
+                       opt=optax.adam(1e-3).init({"w": jnp.zeros(4)}),
+                       extra={"e": jnp.ones(2)})
+    restored = ckpt.restore_latest(jax.device_get(new_tpl))
+    ckpt.close()
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.arange(4.0))
+    # optax state typing preserved through the merge
+    assert type(restored.opt[0]).__name__ == type(opt[0]).__name__
+    # field absent from the old checkpoint keeps the template default
+    np.testing.assert_array_equal(np.asarray(restored.extra["e"]), np.ones(2))
