@@ -136,3 +136,129 @@ def make_v1_ddpm_train_step(tbl: DDPMTables, unet, ae: AutoencoderKLV1,
         return optax.apply_updates(params, updates), new_opt, {"loss": loss, **aux}
 
     return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Minimal v1 drivers (first_version/train_encoder.py:309-409 /
+# train_ddpm.py:120-228 loop structure: epoch loop, per-interval validate,
+# best/final checkpoints)
+# ---------------------------------------------------------------------------
+def train_v1_encoder(
+    train_ds,
+    valid_ds,
+    run_dir,
+    n_epochs: int = 10,
+    batch_size: int = 16,
+    val_interval: int = 5,
+    lr_g: float = 1e-4,
+    lr_d: float = 5e-4,
+    kl_weight: float = 1e-6,
+    gan_weight: float = 0.01,
+    n_channels: int = 64,
+    embed_dim: int = 3,
+    z_channels: int = 3,
+    ch_mult=(1, 2, 4),
+    num_groups: int = 32,
+    seed: int = 2,
+    mesh=None,
+):
+    import numpy as np
+
+    from sleepgen.parallel import make_mesh, replicate, shard_batch
+    from sleepgen.utils import CheckpointManager, MetricsLogger
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    window = train_ds.padded_window
+    ae = AutoencoderKLV1(embed_dim=embed_dim, n_channels=n_channels,
+                         z_channels=z_channels, ch_mult=tuple(ch_mult),
+                         resolution=window, num_groups=num_groups)
+    disc = DiscriminatorV1()
+    rng = jax.random.PRNGKey(seed)
+    state, opt_g, opt_d = init_v1_encoder_state(
+        ae, disc, rng, window=window, lr_g=lr_g, lr_d=lr_d)
+    state = replicate(mesh, state)
+    step = make_v1_encoder_train_step(ae, disc, opt_g, opt_d,
+                                      kl_weight=kl_weight, gan_weight=gan_weight)
+
+    logger = MetricsLogger(run_dir, "train")
+    ckpt = CheckpointManager(run_dir)
+    np_rng = np.random.default_rng(seed)
+    best = float("inf")
+    for epoch in range(n_epochs):
+        metrics = None
+        for batch in train_ds.epoch_batches(batch_size, np_rng, pad_multiple=n_dev):
+            state, metrics = step(state, jnp.asarray(batch), rng)
+        m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+        logger.log(epoch, m)
+        if (epoch + 1) % val_interval == 0:
+            val = 0.0
+            n = 0
+            for batch in valid_ds.epoch_batches(batch_size, np_rng,
+                                                pad_multiple=n_dev):
+                recon, z_mu, z_sigma = ae.apply(
+                    {"params": state.params_g}, jnp.asarray(batch), rng)
+                val += float(jnp.mean(jnp.abs(recon - jnp.asarray(batch))))
+                n += 1
+            val /= max(n, 1)
+            ckpt.save(epoch + 1, jax.device_get(state))
+            if val <= best:
+                best = val
+                ckpt.save_best(jax.device_get(state.params_g))
+    ckpt.save_best(jax.device_get(state.params_g), name="final_model")
+    ckpt.close()
+    logger.close()
+    return best, state
+
+
+def train_v1_ddpm(
+    train_ds,
+    stage1_params,
+    run_dir,
+    ae: AutoencoderKLV1,
+    n_epochs: int = 10,
+    batch_size: int = 16,
+    base_lr: float = 2.5e-5,
+    timesteps: int = 1000,
+    unet=None,
+    seed: int = 2,
+    mesh=None,
+):
+    import numpy as np
+
+    from sleepgen.nn.unet1d import UNet1d
+    from sleepgen.parallel import make_mesh, replicate
+    from sleepgen.utils import CheckpointManager, MetricsLogger
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    window = train_ds.padded_window
+    latent_len = window // 2 ** (len(ae.ch_mult) - 1)
+    unet = unet or UNet1d(in_channels=ae.embed_dim, out_channels=ae.embed_dim,
+                          model_channels=64, channel_mult=(1, 2),
+                          attention_resolutions=(2,))
+    rng = jax.random.PRNGKey(seed)
+    z0 = jnp.zeros((2, latent_len, ae.embed_dim), jnp.float32)
+    params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+    opt = optax.adam(base_lr)
+    opt_state = opt.init(params)
+    stage1_params = replicate(mesh, stage1_params)
+    tbl = DDPMTables.create("linear", timesteps, 0.0015, 0.0195)
+    step = make_v1_ddpm_train_step(tbl, unet, ae, stage1_params, opt)
+
+    logger = MetricsLogger(run_dir, "train")
+    ckpt = CheckpointManager(run_dir)
+    np_rng = np.random.default_rng(seed)
+    i = 0
+    for epoch in range(n_epochs):
+        metrics = None
+        for batch in train_ds.epoch_batches(batch_size, np_rng, pad_multiple=n_dev):
+            params, opt_state, metrics = step(params, opt_state, i,
+                                              jnp.asarray(batch), rng)
+            i += 1
+        logger.log(epoch, {k: float(jax.device_get(v))
+                           for k, v in metrics.items()})
+    ckpt.save_best({"params": jax.device_get(params)}, name="final_model")
+    ckpt.close()
+    logger.close()
+    return params

@@ -53,3 +53,34 @@ def test_v1_ddpm_step():
     params, opt_state, metrics = step(params, opt_state, 0, batch, rng)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["loss_vlb"]))
+
+
+def test_v1_drivers_end_to_end(tmp_path):
+    """First-generation pipeline drivers: v1 encoder then v1 DDPM over its
+    frozen latents (first_version/ parity)."""
+    from sleepgen.data import WindowDataset, make_synthetic_dataset
+    from sleepgen.train.train_v1 import train_v1_ddpm, train_v1_encoder
+
+    raws = make_synthetic_dataset(6, duration_s=30.0)
+    train = WindowDataset.from_raw(raws[:4], window=248, pad=4)
+    valid = WindowDataset.from_raw(raws[4:], window=248, pad=4)
+
+    best, state = train_v1_encoder(
+        train, valid, tmp_path / "enc", n_epochs=2, batch_size=8,
+        val_interval=2, n_channels=4, embed_dim=1, z_channels=1,
+        ch_mult=(1, 2), num_groups=4)
+    assert np.isfinite(best)
+    assert (tmp_path / "enc" / "best_model").exists()
+
+    from sleepgen.nn.aekl_v1 import AutoencoderKLV1
+    from sleepgen.nn.unet1d import UNet1d
+
+    ae = AutoencoderKLV1(embed_dim=1, n_channels=4, z_channels=1,
+                         ch_mult=(1, 2), resolution=256, num_groups=4)
+    unet = UNet1d(in_channels=1, out_channels=1, model_channels=8,
+                  channel_mult=(1, 2), attention_resolutions=(2,), num_groups=4)
+    params = train_v1_ddpm(train, jax.device_get(state.params_g),
+                           tmp_path / "ddpm", ae, n_epochs=2, batch_size=8,
+                           unet=unet)
+    assert params is not None
+    assert (tmp_path / "ddpm" / "final_model").exists()
