@@ -63,3 +63,19 @@ def test_override_paths():
         **{"train.batch_size": 64, "unet.model_channels": 32})
     assert cfg.train.batch_size == 64
     assert cfg.unet.model_channels == 32
+
+
+def test_default_diffusion_config_preserves_reference_quirk():
+    """The reference trains with eps/linear-beta 0.0015->0.0195
+    (train_ldm.py:199-200) but samples with v-prediction/scaled-linear
+    0.0015->0.0205 (sample_trials.py:136-143). SURVEY.md flags this
+    mismatch as load-bearing for its FID; it must stay the default."""
+    cfg = Config()
+    assert cfg.diffusion.beta_schedule == "linear_beta"
+    assert cfg.diffusion.prediction_type == "epsilon"
+    assert cfg.diffusion.linear_end == 0.0195
+    assert cfg.diffusion.sample_schedule == "scaled_linear_beta"
+    assert cfg.diffusion.sample_prediction_type == "v_prediction"
+    assert cfg.diffusion.sample_beta_end == 0.0205
+    assert cfg.diffusion.num_inference_steps == 200
+    assert cfg.diffusion.sampler == "ddim"  # parity default
