@@ -46,7 +46,8 @@ def make_mesh(
     if n_data is None:
         n_data = len(devices) // n_model
     assert n_data * n_model <= len(devices), (
-        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices")
+        f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+        f"only {len(devices)} available")
     grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
