@@ -73,8 +73,10 @@ def main(argv=None):
     best = ckpt2.restore_best(template)
     ckpt2.close()
 
+    # default the artifact-dir suffix from the run's train-time config
+    type_dataset = args.type_dataset or cfg.dataset
     out = Path(args.output_dir) / (
-        f"samples_ldm_{lc}_{args.spe}_{args.type_dataset}")
+        f"samples_ldm_{lc}_{args.spe}_{type_dataset}")
     sigs = sample_ldm_trials(
         cfg, best["params"], stage1_params, float(best["scale_factor"]), out,
         start_seed=args.start_seed, stop_seed=args.stop_seed,

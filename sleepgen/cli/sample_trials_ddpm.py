@@ -1,5 +1,19 @@
 """CLI: signal-space DM sampling (reference ``src/sample_trials_ddpm.py``:
-noise (1,1,3072), DDIM-200 over a DDPM-trained UNet, crop, artifacts)."""
+noise (1,1,3072), DDIM over a DDPM-trained UNet, crop, artifacts).
+
+Scheduler-parity quirk (reference ``src/sample_trials_ddpm.py:83-92``):
+the reference passes ``--num_inference_steps`` as the DDIM scheduler's
+``num_train_timesteps`` — i.e. it sets the *beta-table length* — while the
+DDIM loop itself is hard-coded to ``set_timesteps(200)``. The argparse
+default is 1000 (``:40``) and none of the cluster launch scripts override
+it (``clusters/run_dm_sampling_*.sh``), so the as-shipped behavior is a
+1000-entry scaled-linear table stepped 200 times (ratio 5) — identical in
+shape to the LDM path. But a user passing ``--num_inference_steps 200``
+gets a 200-entry table stepped 200 times (ratio 1, final alpha_cumprod
+~0.11 instead of ~1e-5) — a very different trajectory. We replicate both
+semantics: ``--num_inference_steps`` = table length, ``--num_ddim_steps``
+= loop length (default 200, clamped to the table length).
+"""
 from __future__ import annotations
 
 import argparse
@@ -11,12 +25,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--diffusion_path", type=str, required=True)
     p.add_argument("--start_seed", type=int, default=0)
     p.add_argument("--stop_seed", type=int, default=1000)
-    p.add_argument("--num_inference_steps", type=int, default=200)
+    p.add_argument("--num_inference_steps", type=int, default=1000,
+                   help="sampling beta-table length (reference semantics: "
+                        "DDIMScheduler num_train_timesteps)")
+    p.add_argument("--num_ddim_steps", type=int, default=200,
+                   help="DDIM loop length (reference: set_timesteps(200))")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--spe", type=str, default="no-spectral")
     p.add_argument("--type_dataset", type=str, default="")
     p.add_argument("--no_psd", action="store_true")
     return p
+
+
+def dm_sampling_schedule(cfg, num_train_timesteps: int):
+    """Reference-parity DM sampling schedule: same scaled-linear betas and
+    v_prediction as the LDM sampler, but with a caller-chosen table length
+    (``src/sample_trials_ddpm.py:83-90``)."""
+    from sleepgen.diffusion import NoiseSchedule
+
+    d = cfg.diffusion
+    return NoiseSchedule.create(
+        d.sample_schedule, num_train_timesteps, d.sample_beta_start,
+        d.sample_beta_end, prediction_type=d.sample_prediction_type,
+    )
 
 
 def main(argv=None):
@@ -33,14 +64,15 @@ def main(argv=None):
 
     from sleepgen.config import Config
     from sleepgen.sample.samplers import ddim_sample_loop, seed_noise
-    from sleepgen.sample.sample_ldm import sampling_schedule, write_sample_artifacts
+    from sleepgen.sample.sample_ldm import write_sample_artifacts
     from sleepgen.data.transforms import BORDER_PAD
     from sleepgen.train.train_ldm import build_unet
     from sleepgen.utils import CheckpointManager
 
     args = build_parser().parse_args(argv)
     cfg = Config.from_yaml(Path(args.diffusion_path) / "config.yaml")
-    cfg.diffusion.num_inference_steps = args.num_inference_steps
+    num_ddim_steps = min(args.num_ddim_steps, args.num_inference_steps)
+    cfg.diffusion.num_inference_steps = num_ddim_steps
     signal_len = cfg.unet.image_size
 
     unet = build_unet(cfg, 1, 1, jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
@@ -51,7 +83,7 @@ def main(argv=None):
     best = ckpt.restore_best(template)
     ckpt.close()
 
-    sched = sampling_schedule(cfg)
+    sched = dm_sampling_schedule(cfg, args.num_inference_steps)
 
     @jax.jit
     def sample(params, base_key, seeds):
@@ -60,10 +92,11 @@ def main(argv=None):
         def model_fn(x, t):
             return unet.apply({"params": params}, x, t)
 
-        x = ddim_sample_loop(model_fn, sched, x_T, args.num_inference_steps)
+        x = ddim_sample_loop(model_fn, sched, x_T, num_ddim_steps)
         return x[:, BORDER_PAD:-BORDER_PAD, :]
 
-    out = Path(args.output_dir) / f"samples_ddpm_{args.spe}_{args.type_dataset}"
+    type_dataset = args.type_dataset or cfg.dataset
+    out = Path(args.output_dir) / f"samples_ddpm_{args.spe}_{type_dataset}"
     base_key = jax.random.PRNGKey(0)
     all_seeds = np.arange(args.start_seed, args.stop_seed)
     for i in range(0, len(all_seeds), args.batch_size):

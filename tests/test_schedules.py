@@ -150,3 +150,30 @@ def test_schedule_is_jit_and_scan_friendly():
     out = run(jnp.ones((2, 16, 1)))
     assert out.shape == (2, 16, 1)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dm_sampling_schedule_table_length_semantics():
+    """Reference quirk (src/sample_trials_ddpm.py:40,83-92): the DM sampler
+    flag sets the scheduler's num_train_timesteps (beta-table length), with
+    the DDIM loop fixed at 200 steps. Default 1000 == the LDM sampling
+    table; 200 gives a ratio-1 trajectory with a much larger terminal
+    alpha_cumprod."""
+    from sleepgen.cli.sample_trials_ddpm import dm_sampling_schedule
+    from sleepgen.config import Config
+    from sleepgen.sample.sample_ldm import sampling_schedule
+
+    cfg = Config()
+    full = dm_sampling_schedule(cfg, 1000)
+    assert full.alphas_cumprod.shape[0] == 1000
+    np.testing.assert_allclose(
+        np.asarray(full.alphas_cumprod),
+        np.asarray(sampling_schedule(cfg).alphas_cumprod))
+
+    short = dm_sampling_schedule(cfg, 200)
+    assert short.alphas_cumprod.shape[0] == 200
+    # ratio-1 stepping touches every entry
+    np.testing.assert_array_equal(ddim_timesteps(200, 200),
+                                  np.arange(199, -1, -1))
+    # terminal noise level differs by orders of magnitude — the quirk is real
+    assert float(short.alphas_cumprod[-1]) > 0.05
+    assert float(full.alphas_cumprod[-1]) < 1e-4
