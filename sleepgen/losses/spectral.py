@@ -12,8 +12,8 @@ loss = MSE(amplitude(target), amplitude(input)) with the given reduction.
 The reference README notes this loss is numerically unstable
 (``README.md:18`` — "we used the last model before the loss exploded"), so
 the FFT and the reduction are forced to float32 regardless of the compute
-dtype, and callers can wrap training in the NaN-guard from
-:mod:`sleepgen.train.guards`.
+dtype, and the trainers stop at the last finite checkpoint automatically
+(NaN guard inline in ``sleepgen.train.train_aekl`` / ``train_dm``).
 """
 from __future__ import annotations
 

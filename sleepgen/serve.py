@@ -84,14 +84,19 @@ class SamplerService:
             self._samplers[batch] = make_ldm_sampler(
                 unet, ae, sched, self.cfg.unet.image_size, lc,
                 self.cfg.diffusion.num_inference_steps,
-                border_pad=self.border_pad)
+                border_pad=self.border_pad,
+                sampler=self.cfg.diffusion.sampler)
         return self._samplers[batch]
 
     def warmup(self) -> float:
-        """Compile the sampler ahead of traffic; returns compile seconds."""
+        """Compile the sampler ahead of traffic; returns compile seconds.
+        The warmup call is excluded from ``stats`` so the first real
+        request reports steady-state throughput."""
         t0 = time.perf_counter()
         self.sample(range(self.batch_size))
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        self.stats = {}
+        return dt
 
     # -- API -----------------------------------------------------------------
     def sample(self, seeds: Sequence[int],

@@ -31,6 +31,7 @@ from flax.core import FrozenDict
 
 from sleepgen.config import Config
 from sleepgen.data.dataset import WindowDataset
+from sleepgen.train.evals import masked_epoch_mean
 from sleepgen.losses import (
     discriminator_adv_loss,
     generator_adv_loss,
@@ -168,7 +169,9 @@ def make_eval_step(ae: AutoencoderKL):
     @jax.jit
     def eval_step(params_g, batch):
         recon = ae.apply({"params": params_g}, batch, method=AutoencoderKL.reconstruct)
-        l1 = jnp.mean(jnp.abs(recon.astype(jnp.float32) - batch.astype(jnp.float32)))
+        # per-sample L1 so padded loader rows can be trimmed host-side
+        l1 = jnp.mean(jnp.abs(recon.astype(jnp.float32) - batch.astype(jnp.float32)),
+                      axis=tuple(range(1, batch.ndim)))
         return l1, recon
 
     return eval_step
@@ -241,14 +244,16 @@ def train_aekl(
             break
 
         if (epoch + 1) % cfg.train.val_interval == 0:
-            val_losses = []
-            for batch in valid_ds.epoch_batches(
-                cfg.train.batch_size, np_rng, shuffle=True, pad_multiple=n_dev
-            ):
+            def _losses(bi, batch):
                 dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
                 l1, recon = eval_step(state.params_g, dev_batch)
-                val_losses.append(float(jax.device_get(l1)))
-            val_loss = float(np.mean(val_losses))
+                return l1
+
+            val_loss = masked_epoch_mean(
+                len(valid_ds),
+                valid_ds.epoch_batches(cfg.train.batch_size, np_rng,
+                                       shuffle=True, pad_multiple=n_dev),
+                _losses)
             logger_v.log(epoch, {"recons_loss": val_loss})
             host_state = jax.device_get(state)
             ckpt.save(int(host_state.step), host_state)
@@ -258,9 +263,15 @@ def train_aekl(
                 ckpt.save_best(jax.device_get(state.params_g))
 
     host_state = jax.device_get(state)
-    if not stopped_on_nan:
+    if stopped_on_nan:
+        # "last model before the loss exploded" (README.md:18): final_model
+        # must never carry non-finite params — fall back to the latest
+        # finite periodic checkpoint, or skip the write if none exists.
+        host_state = ckpt.restore_latest(host_state)
+    else:
         ckpt.save(int(host_state.step), host_state)
-    ckpt.save_best(host_state.params_g, name="final_model")
+    if host_state is not None:
+        ckpt.save_best(host_state.params_g, name="final_model")
     ckpt.close()
     logger_t.close()
     logger_v.close()

@@ -17,6 +17,7 @@ import optax
 
 from sleepgen.config import Config
 from sleepgen.data.dataset import WindowDataset
+from sleepgen.train.evals import masked_epoch_mean
 from sleepgen.losses import jukebox_loss
 from sleepgen.parallel import (make_mesh, prefetch_to_device,
                                replicate, shard_batch)
@@ -43,7 +44,8 @@ def make_dm_eval_step(unet, sched):
         noisy = sched.add_noise(x, noise, t)
         target = sched.velocity(x, noise, t) if sched.prediction_type == "v_prediction" else noise
         pred = unet.apply({"params": params}, noisy, t).astype(jnp.float32)
-        return jnp.mean((pred - target) ** 2)
+        # per-sample MSE so padded loader rows can be trimmed host-side
+        return jnp.mean((pred - target) ** 2, axis=tuple(range(1, x.ndim)))
 
     return eval_step
 
@@ -114,6 +116,17 @@ def train_dm(
 
     train_step = make_dm_train_step(unet, sched, opt, cfg.spectral)
     eval_step = make_dm_eval_step(unet, sched)
+
+    from sleepgen.data.transforms import to_bcl
+    from sleepgen.sample.samplers import ddpm_sample_loop
+
+    @jax.jit  # hoisted out of the epoch loop: one compile for the whole run
+    def _draw(params, key):
+        x_T = jax.random.normal(key, (1, window, 1))
+        return ddpm_sample_loop(
+            lambda x, t: unet.apply({"params": params}, x, t),
+            sched, x_T, key, clip_sample=True)
+
     np_rng = np.random.default_rng(cfg.train.seed)
     n_dev = mesh.devices.size
     best_loss = float(jax.device_get(state.best_loss))
@@ -142,27 +155,22 @@ def train_dm(
         if (epoch + 1) % cfg.train.val_interval == 0:
             if (epoch + 1) % (cfg.train.val_interval * 2) == 0:
                 # in-training signal-space sample (util.py:261-285)
-                from sleepgen.data.transforms import to_bcl
-                from sleepgen.sample.samplers import ddpm_sample_loop
-
-                @jax.jit
-                def _draw(params, key):
-                    x_T = jax.random.normal(key, (1, window, 1))
-                    return ddpm_sample_loop(
-                        lambda x, t: unet.apply({"params": params}, x, t),
-                        sched, x_T, key, clip_sample=True)
-
                 samp = _draw(state.params, jax.random.fold_in(rng, epoch))
                 np.save(run_dir / f"sample_unconditioned_{epoch}.npy",
                         to_bcl(np.asarray(jax.device_get(samp))))
-            val_losses = []
-            for batch in valid_ds.epoch_batches(
-                cfg.train.batch_size, np_rng, shuffle=True, pad_multiple=n_dev
-            ):
+
+            eval_rng = jax.random.fold_in(rng, epoch)
+
+            def _losses(bi, batch):
                 dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
-                val_losses.append(float(jax.device_get(
-                    eval_step(state.params, dev_batch, rng))))
-            val_loss = float(np.mean(val_losses))
+                return eval_step(state.params, dev_batch,
+                                 jax.random.fold_in(eval_rng, bi))
+
+            val_loss = masked_epoch_mean(
+                len(valid_ds),
+                valid_ds.epoch_batches(cfg.train.batch_size, np_rng,
+                                       shuffle=True, pad_multiple=n_dev),
+                _losses)
             logger_v.log(epoch, {"loss": val_loss})
             host_state = jax.device_get(state)
             ckpt.save(int(host_state.step), host_state)
@@ -171,9 +179,14 @@ def train_dm(
                 ckpt.save_best({"params": host_state.params})
 
     host_state = jax.device_get(state)
-    if not stopped_on_nan:
+    if stopped_on_nan:
+        # final_model must never carry non-finite params ("last model
+        # before the loss exploded", README.md:18)
+        host_state = ckpt.restore_latest(host_state)
+    else:
         ckpt.save(int(host_state.step), host_state)
-    ckpt.save_best({"params": host_state.params}, name="final_model")
+    if host_state is not None:
+        ckpt.save_best({"params": host_state.params}, name="final_model")
     ckpt.close()
     logger_t.close()
     logger_v.close()

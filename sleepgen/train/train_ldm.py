@@ -28,6 +28,7 @@ from flax import struct
 
 from sleepgen.config import Config
 from sleepgen.data.dataset import WindowDataset
+from sleepgen.train.evals import masked_epoch_mean
 from sleepgen.diffusion import NoiseSchedule
 from sleepgen.nn import AutoencoderKL, UNet1d
 from sleepgen.parallel import (make_mesh, prefetch_to_device,
@@ -130,7 +131,9 @@ def make_ldm_eval_step(unet: UNet1d, ae: AutoencoderKL, params_g, sched: NoiseSc
         noisy = sched.add_noise(z, noise, t)
         target = sched.velocity(z, noise, t) if sched.prediction_type == "v_prediction" else noise
         pred = unet.apply({"params": params}, noisy, t)
-        return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+        # per-sample MSE so padded loader rows can be trimmed host-side
+        return jnp.mean((pred.astype(jnp.float32) - target) ** 2,
+                        axis=tuple(range(1, noisy.ndim)))
 
     return eval_step
 
@@ -218,14 +221,20 @@ def train_ldm(
     last_epoch = start_epoch
 
     def run_eval(epoch, sample=False):
-        losses = []
-        for batch in valid_ds.epoch_batches(
-            cfg.train.batch_size, np_rng, shuffle=True, pad_multiple=n_dev
-        ):
+        # fresh timestep/noise draws per epoch and per batch (a single rng
+        # here would make every val batch a fixed projection)
+        eval_rng = jax.random.fold_in(rng, epoch)
+
+        def _losses(bi, batch):
             dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
-            loss = eval_step(state.params, state.scale_factor, dev_batch, rng)
-            losses.append(float(jax.device_get(loss)))
-        val = float(np.mean(losses))
+            return eval_step(state.params, state.scale_factor, dev_batch,
+                             jax.random.fold_in(eval_rng, bi))
+
+        val = masked_epoch_mean(
+            len(valid_ds),
+            valid_ds.epoch_batches(cfg.train.batch_size, np_rng,
+                                   shuffle=True, pad_multiple=n_dev),
+            _losses)
         logger_v.log(epoch, {"loss": val})
         if sample:
             # in-training unconditioned sample, decoded with and without the
@@ -293,13 +302,19 @@ def train_ldm(
                      "scale_factor": jax.device_get(state.scale_factor)})
 
     host_state = jax.device_get(state)
-    if not stopped_on_nan:
+    if stopped_on_nan:
+        # final_model must never carry non-finite params ("last model
+        # before the loss exploded", README.md:18) — fall back to the
+        # latest finite periodic checkpoint, or skip if none exists.
+        host_state = ckpt.restore_latest(host_state)
+    else:
         ckpt.save(int(host_state.step), host_state)
-    final_params = (host_state.ema_params if ema_decay > 0.0
-                    else host_state.params)
-    ckpt.save_best(
-        {"params": final_params, "scale_factor": host_state.scale_factor},
-        name="final_model")
+    if host_state is not None:
+        final_params = (host_state.ema_params if ema_decay > 0.0
+                        else host_state.params)
+        ckpt.save_best(
+            {"params": final_params, "scale_factor": host_state.scale_factor},
+            name="final_model")
     ckpt.close()
     logger_t.close()
     logger_v.close()

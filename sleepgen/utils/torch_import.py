@@ -314,6 +314,25 @@ def import_chambon(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def import_chambon_sequence(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference variant-a decode checkpoint (TimeDistributed Chambon,
+    ``outputs/sleep_stage_chambon/final_model.pth``) ->
+    ``TimeDistributedStager`` variables. Torch layout
+    (run_sleep_decode.py:174-190): Sequential(TimeDistributed(feats),
+    Sequential(Flatten, Dropout, Linear)) — feature keys carry a
+    ``0.module.`` prefix and the head lives at ``1.2``."""
+    sd = dict(state_dict)
+    fe_sd = {k[len("0.module."):]: v for k, v in sd.items()
+             if k.startswith("0.module.")}
+    base = import_chambon(fe_sd)
+    params = {"feature_extractor": base["params"]["feature_extractor"],
+              "head": _dense(sd, "1.2")}
+    out: Dict[str, Any] = {"params": params}
+    if "batch_stats" in base:
+        out["batch_stats"] = base["batch_stats"]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # MONAI-generative AutoencoderKL (main path) -> sleepgen.nn.AutoencoderKL
 # ---------------------------------------------------------------------------
@@ -323,10 +342,24 @@ def _monai_conv(sd, prefix):
     return _conv(sd, f"{prefix}.conv")
 
 
+class _TrackingDict(dict):
+    """dict that records which keys were read — lets importers verify they
+    consumed an entire state_dict instead of silently partial-loading."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self.consumed: set = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
 def import_aekl_monai(
     state_dict: Dict[str, Any],
     num_channels: Sequence[int] = (32, 32, 64),
     num_res_blocks: int = 2,
+    strict: bool = True,
 ) -> Dict[str, Any]:
     """EXPERIMENTAL: monai-generative 0.2.x ``AutoencoderKL`` state_dict
     (the main-path stage-1 checkpoints, train_autoencoderkl.py:133) ->
@@ -338,9 +371,13 @@ def import_aekl_monai(
     norm2/conv2/nin_shortcut; Down/Upsample wrap a Convolution as ``conv``).
     Validated in-tree by a round-trip test (export_aekl_monai ->
     import_aekl_monai is the identity); validation against a real MONAI
-    checkpoint requires one, which the reference repo does not ship.
+    checkpoint requires one, which the reference repo does not ship. As a
+    runtime guard against a layout mismatch, ``strict=True`` (default)
+    errors on any state_dict key left unconsumed by the name map (missing
+    keys already raise KeyError), so a drifted MONAI version fails loudly
+    instead of loading partial weights.
     """
-    sd = strip_module_prefix(state_dict)
+    sd = _TrackingDict(strip_module_prefix(state_dict))
     levels = len(num_channels)
 
     def res(prefix):
@@ -393,6 +430,13 @@ def import_aekl_monai(
         "quant_conv_log_sigma": _monai_conv(sd, "quant_conv_log_sigma"),
         "post_quant_conv": _monai_conv(sd, "post_quant_conv"),
     }
+    unconsumed = {k for k in sd if k not in sd.consumed
+                  and not k.endswith("num_batches_tracked")}
+    if strict and unconsumed:
+        raise KeyError(
+            "import_aekl_monai: state_dict keys not consumed by the name "
+            f"map (layout mismatch?): {sorted(unconsumed)[:10]}"
+            f"{' ...' if len(unconsumed) > 10 else ''}")
     return {"params": params}
 
 
