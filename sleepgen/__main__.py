@@ -9,6 +9,7 @@ COMMANDS = {
     "train-dm": "sleepgen.cli.train_pure_ldm",
     "sample": "sleepgen.cli.sample_trials",
     "sample-dm": "sleepgen.cli.sample_trials_ddpm",
+    "sample-ae": "sleepgen.cli.sample_trials_autoencoder",
     "compute-mmds": "sleepgen.cli.compute_mmds",
     "compute-fid": "sleepgen.cli.compute_fid",
     "band-eval": "sleepgen.cli.band_eval",

@@ -23,7 +23,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--output_dir", type=str, default="decode_out")
-    p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--seed", type=int, default=None,
+                   help="overrides the config seed (reference default 1996)")
+    p.add_argument("--config_file", type=str, default=None,
+                   help="sleep_stage{,_b,_c}.yaml — sets seed and the "
+                        "run-dir name (reference run_sleep_decode.py:56-90)")
     return p
 
 
@@ -65,6 +69,17 @@ def main(argv=None):
     from sleepgen.train.decode import train_decoder
 
     args = build_parser().parse_args(argv)
+    out = Path(args.output_dir)
+    seed = args.seed
+    if args.config_file:
+        from sleepgen.config import Config
+
+        cfg = Config.from_yaml(args.config_file)
+        if seed is None:
+            seed = cfg.train.seed
+        out = out / cfg.train.run_dir
+    if seed is None:
+        seed = 2
     x, y, rids = load_staged_dataset(Path(args.data_dir), args.channel)
 
     # subject-level split by recording id (60/20/20)
@@ -96,9 +111,8 @@ def main(argv=None):
         model = DeepSleepNet(n_outputs=5, sfreq=100)
 
     res = train_decoder(model, train_xy, valid_xy, n_epochs=args.n_epochs,
-                        batch_size=args.batch_size, seed=args.seed)
+                        batch_size=args.batch_size, seed=seed)
 
-    out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     (out / "history.json").write_text(json.dumps(res.history, indent=1))
     np.save(out / "confusion_matrix.npy", res.confusion)

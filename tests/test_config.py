@@ -21,10 +21,21 @@ def test_default_config_roundtrip(tmp_path):
 
 
 def test_sleepgen_shipped_configs_load():
+    """Every shipped config loads; the set mirrors all 11 reference YAMLs."""
     base = Path(__file__).parent.parent / "sleepgen" / "configs"
-    for name in ("aekl_eeg.yaml", "aekl_eeg_2_2_4.yaml", "ldm.yaml", "dm.yaml"):
+    shipped = sorted(p.name for p in base.glob("*.yaml"))
+    assert len(shipped) == 11, shipped
+    for name in shipped:
         cfg = Config.from_yaml(base / name)
         assert cfg.train.batch_size > 0
+    spec = Config.from_yaml(base / "aekl_eeg_2_2_4_spec.yaml")
+    assert spec.train.n_epochs == 1000  # only diff vs aekl_eeg_2_2_4
+    assert Config.from_yaml(base / "aekl_eeg_retraining.yaml").train.run_dir \
+        == "aekl_eeg_retraining"
+    for variant, suffix in (("", ""), ("_b", "_b"), ("_c", "_c")):
+        ss = Config.from_yaml(base / f"sleep_stage{variant}.yaml")
+        assert ss.train.seed == 1996
+        assert ss.train.run_dir == f"sleep_stage_chambon{suffix}"
     ldm = Config.from_yaml(base / "ldm.yaml")
     assert ldm.unet.model_channels == 128
     assert ldm.diffusion.sample_prediction_type == "v_prediction"
