@@ -98,3 +98,35 @@ def balanced_class_weights(y: np.ndarray, n_classes: int = 5) -> np.ndarray:
     w = np.zeros(n_classes)
     w[present] = len(y) / (present.sum() * counts[present])
     return w.astype(np.float32)
+
+
+def make_synthetic_staged(
+    n_recordings: int = 24,
+    n_epochs_per_rec: int = 40,
+    sfreq: int = 100,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hermetic staged-EEG fixture: stage k is a sine at (2+3k) Hz plus
+    noise, 30 s epochs. Returns (windows (N, 3000, 1) standard-scaled,
+    labels (N,), recording_ids (N,)) — the shape contract of
+    ``load_staged_dataset`` (cli/run_sleep_decode.py) without PhysioNet.
+    """
+    rng = np.random.default_rng(seed)
+    stages = ["Sleep stage W", "Sleep stage 1", "Sleep stage 2",
+              "Sleep stage 3", "Sleep stage R"]
+    t = np.arange(30 * sfreq) / sfreq
+    xs, ys, rids = [], [], []
+    for rec in range(n_recordings):
+        sig, anns = [], []
+        for i in range(n_epochs_per_rec):
+            s = int(rng.integers(0, 5))
+            f = 2 + 3 * s
+            phase = rng.uniform(0, 2 * np.pi)
+            sig.append(np.sin(2 * np.pi * f * t + phase)
+                       + 0.3 * rng.normal(size=len(t)))
+            anns.append((i * 30.0, 30.0, stages[s]))
+        x, y = windows_from_annotations(np.concatenate(sig), sfreq, anns)
+        xs.append(standard_scale_windows(x))
+        ys.append(y)
+        rids.append(np.full(len(y), rec))
+    return np.concatenate(xs), np.concatenate(ys), np.concatenate(rids)

@@ -231,3 +231,87 @@ def test_monai_aekl_name_map_roundtrip():
     # the imported tree must run
     out = m.apply(back, x, rng)
     assert out[0].shape == (1, 256, 1)
+
+
+def test_unet1d_export_roundtrip_and_pth(tmp_path):
+    """export_unet1d -> import_unet1d is the identity (pins the reference
+    UNetModel name map both ways), and save_state_dict_pth writes a file
+    torch.load can consume — the reference-tooling interop loop."""
+    from sleepgen.nn import UNet1d
+    from sleepgen.utils.torch_export import export_unet1d, save_state_dict_pth
+    from sleepgen.utils.torch_import import import_unet1d
+
+    m = UNet1d(in_channels=1, out_channels=1, model_channels=16,
+               channel_mult=(1, 2), num_res_blocks=2,
+               attention_resolutions=(2,), num_groups=8)
+    variables = {"params": jax.device_get(m.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 1)),
+        jnp.zeros((1,), jnp.int32))["params"])}
+
+    sd = export_unet1d(variables, channel_mult=(1, 2), num_res_blocks=2,
+                       attention_resolutions=(2,))
+    back = import_unet1d(sd, channel_mult=(1, 2), num_res_blocks=2,
+                         attention_resolutions=(2,))
+
+    flat_a = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(variables)}
+    flat_b = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert set(flat_a) == set(flat_b), sorted(set(flat_a) ^ set(flat_b))[:6]
+    for k in flat_a:
+        np.testing.assert_allclose(flat_a[k], flat_b[k], rtol=1e-6, err_msg=k)
+
+    import torch
+
+    p = save_state_dict_pth(sd, tmp_path / "best_model.pth")
+    loaded = torch.load(p)
+    assert set(loaded) == set(sd)
+    np.testing.assert_allclose(loaded["out.2.weight"].numpy(), sd["out.2.weight"])
+
+
+def test_import_aekl_monai_strict_guard():
+    """A state_dict with extra (layout-drifted) keys must fail loudly
+    instead of partially loading (ADVICE r1)."""
+    from sleepgen.nn import AutoencoderKL
+    from sleepgen.utils.torch_import import export_aekl_monai, import_aekl_monai
+
+    m = AutoencoderKL(num_channels=(4, 4, 8), latent_channels=1)
+    x = jnp.zeros((1, 256, 1))
+    rng = jax.random.PRNGKey(0)
+    variables = {"params": jax.device_get(
+        m.init({"params": rng}, x, rng)["params"])}
+    sd = export_aekl_monai(variables, num_channels=(4, 4, 8))
+
+    sd_extra = dict(sd)
+    sd_extra["encoder.blocks.99.conv.weight"] = np.zeros((1, 1, 3), np.float32)
+    with pytest.raises(KeyError, match="not consumed"):
+        import_aekl_monai(sd_extra, num_channels=(4, 4, 8))
+    # non-strict keeps the old permissive behavior
+    import_aekl_monai(sd_extra, num_channels=(4, 4, 8), strict=False)
+    # missing keys raise regardless
+    sd_missing = {k: v for k, v in sd.items() if k != "post_quant_conv.conv.weight"}
+    with pytest.raises(KeyError):
+        import_aekl_monai(sd_missing, num_channels=(4, 4, 8))
+
+
+REF_DECODE_A = Path("/root/reference/outputs/sleep_stage_chambon/final_model.pth")
+
+
+@pytest.mark.skipif(not REF_DECODE_A.exists(), reason="reference ckpt unavailable")
+def test_chambon_sequence_real_checkpoint_runs():
+    """The reference's real shipped variant-a decode checkpoint loads into
+    TimeDistributedStager and produces finite 5-class logits (VERDICT r1
+    item 3: exercise real reference checkpoints end-to-end)."""
+    from sleepgen.nn.chambon import TimeDistributedStager
+    from sleepgen.utils.torch_import import import_chambon_sequence
+
+    sd = torch.load(REF_DECODE_A, map_location="cpu")
+    variables = import_chambon_sequence(sd)
+    m = TimeDistributedStager(n_chans=2, sfreq=100.0)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 3, 3000, 2)).astype(np.float32))
+    logits = m.apply(variables, x, train=False)
+    assert logits.shape == (2, 5)
+    assert np.isfinite(np.asarray(logits)).all()
+    # head dim must match the shipped (5, 720) Linear exactly
+    assert variables["params"]["head"]["kernel"].shape == (720, 5)
