@@ -15,3 +15,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Skip @pytest.mark.slow (compile-heavy e2e) tests by default so the
+    day-to-day suite stays fast. Run everything with RUN_SLOW=1, or just
+    the slow set with -m slow."""
+    if os.environ.get("RUN_SLOW") or config.option.markexpr:
+        return
+    skip = pytest.mark.skip(reason="slow e2e: set RUN_SLOW=1 (or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

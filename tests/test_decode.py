@@ -64,6 +64,7 @@ def test_sequence_sampler_and_center_label():
     np.testing.assert_array_equal(center_label(labels, seqs), [1, 4, 8])
 
 
+@pytest.mark.slow
 def test_chambon_shapes_and_learning():
     """The 3-window stager must fit trivially separable synthetic stages."""
     from sleepgen.train.decode import train_decoder

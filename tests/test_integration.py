@@ -42,6 +42,7 @@ def tiny_ds():
     return train, valid
 
 
+@pytest.mark.slow
 def test_end_to_end_aekl_ldm_sample(tiny_cfg, tiny_ds):
     from sleepgen.train.train_aekl import train_aekl
     from sleepgen.train.train_ldm import train_ldm

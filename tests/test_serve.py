@@ -41,6 +41,7 @@ def trained_dirs(tmp_path_factory):
     return r1.run_dir, r2.run_dir
 
 
+@pytest.mark.slow
 def test_sampler_service(trained_dirs):
     from sleepgen.serve import SamplerService
 

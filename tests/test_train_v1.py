@@ -1,4 +1,5 @@
 """v1 trainer smoke tests: one jitted G/D step and one DDPM-v1 step."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +56,7 @@ def test_v1_ddpm_step():
     assert np.isfinite(float(metrics["loss_vlb"]))
 
 
+@pytest.mark.slow
 def test_v1_drivers_end_to_end(tmp_path):
     """First-generation pipeline drivers: v1 encoder then v1 DDPM over its
     frozen latents (first_version/ parity)."""
