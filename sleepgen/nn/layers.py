@@ -142,6 +142,15 @@ class SelfAttention1d(nn.Module):
     dtype: Dtype = jnp.float32
     zero_out: bool = True
     kv_block_size: int = 0  # >0: blockwise (flash-style) attention
+    quantized: bool = False  # int8 qkv/proj projections (sleepgen.nn.quant)
+
+    def _proj(self, features: int, name: str, zero_init: bool = False):
+        if self.quantized:
+            from sleepgen.nn.quant import QuantConv1d
+
+            return QuantConv1d(features, 1, dtype=self.dtype, name=name)
+        return conv1d(features, kernel=1, dtype=self.dtype, name=name,
+                      zero_init=zero_init)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -149,7 +158,7 @@ class SelfAttention1d(nn.Module):
         h = self.num_heads
         assert c % h == 0, f"channels {c} not divisible by heads {h}"
         d = c // h
-        qkv = conv1d(3 * c, kernel=1, dtype=self.dtype, name="qkv")(x)
+        qkv = self._proj(3 * c, "qkv")(x)
         qkv = qkv.reshape(b, l, h, 3 * d)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(d, jnp.float32)))
@@ -165,8 +174,7 @@ class SelfAttention1d(nn.Module):
             weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhij,bjhd->bihd", weights, v.astype(self.dtype))
             out = out.reshape(b, l, c)
-        return conv1d(c, kernel=1, dtype=self.dtype, name="proj_out",
-                      zero_init=self.zero_out)(out)
+        return self._proj(c, "proj_out", zero_init=self.zero_out)(out)
 
 
 class AttentionBlock1d(nn.Module):
@@ -176,9 +184,11 @@ class AttentionBlock1d(nn.Module):
     num_groups: int = 32
     dtype: Dtype = jnp.float32
     use_pallas_norm: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = GroupNorm32(self.num_groups, use_pallas=self.use_pallas_norm)(x)
-        h = SelfAttention1d(num_heads=self.num_heads, dtype=self.dtype)(h)
+        h = SelfAttention1d(num_heads=self.num_heads, dtype=self.dtype,
+                            quantized=self.quantized)(h)
         return x + h

@@ -42,6 +42,19 @@ from sleepgen.nn.layers import (
 )
 
 
+def _make_conv(quantized: bool, features: int, kernel: int, dtype,
+               name: str, zero_init: bool = False):
+    """conv1d, or its int8 drop-in when running the quantized inference
+    path (sleepgen.nn.quant; zero_init is irrelevant there — quantized
+    params are converted from trained weights, never initialized)."""
+    if quantized:
+        from sleepgen.nn.quant import QuantConv1d
+
+        return QuantConv1d(features, kernel, dtype=dtype, name=name)
+    return conv1d(features, kernel, dtype=dtype, name=name,
+                  zero_init=zero_init)
+
+
 class TimestepResBlock(nn.Module):
     """ResBlock with additive (or scale-shift) timestep conditioning and
     optional built-in up/down resampling (reference unet.py:227-327)."""
@@ -54,6 +67,7 @@ class TimestepResBlock(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     use_pallas_norm: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
@@ -68,7 +82,7 @@ class TimestepResBlock(nn.Module):
         elif self.down:
             h = avg_pool_1d(h)
             x = avg_pool_1d(x)
-        h = conv1d(out_ch, 3, dtype=self.dtype, name="in_conv")(h)
+        h = _make_conv(self.quantized, out_ch, 3, self.dtype, "in_conv")(h)
 
         emb_out = nn.Dense(
             2 * out_ch if self.use_scale_shift_norm else out_ch,
@@ -87,10 +101,11 @@ class TimestepResBlock(nn.Module):
                             use_pallas=self.use_pallas_norm)(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = conv1d(out_ch, 3, dtype=self.dtype, zero_init=True, name="out_conv")(h)
+        h = _make_conv(self.quantized, out_ch, 3, self.dtype, "out_conv",
+                       zero_init=True)(h)
 
         if x.shape[-1] != out_ch:
-            x = conv1d(out_ch, 1, dtype=self.dtype, name="skip_conv")(x)
+            x = _make_conv(self.quantized, out_ch, 1, self.dtype, "skip_conv")(x)
         return x + h
 
 
@@ -110,6 +125,9 @@ class UNet1d(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas_norm: bool = False
     num_classes: int = 0  # >0: class-conditional (reference unet.py:379-380)
+    # int8 inference path (sampling only): apply with params converted by
+    # sleepgen.nn.quant.quantize_unet_params
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
@@ -141,6 +159,7 @@ class UNet1d(nn.Module):
                 dropout=self.dropout,
                 dtype=self.dtype,
                 use_pallas_norm=self.use_pallas_norm,
+                quantized=self.quantized,
                 name=name,
                 **kw,
             )(h, e, deterministic)
@@ -149,9 +168,11 @@ class UNet1d(nn.Module):
             return AttentionBlock1d(self.num_heads, self.num_groups,
                                     self.dtype,
                                     use_pallas_norm=self.use_pallas_norm,
+                                    quantized=self.quantized,
                                     name=name)(h)
 
-        h = conv1d(mc, 3, dtype=self.dtype, name="conv_in")(x.astype(self.dtype))
+        h = _make_conv(self.quantized, mc, 3, self.dtype,
+                       "conv_in")(x.astype(self.dtype))
         hs = [h]
         ds = 1
         for level, mult in enumerate(self.channel_mult):
@@ -193,6 +214,6 @@ class UNet1d(nn.Module):
 
         h = GroupNorm32(self.num_groups, fuse_silu=True,
                         use_pallas=self.use_pallas_norm)(h)
-        out = conv1d(self.out_channels, 3, dtype=self.dtype, zero_init=True,
-                     name="conv_out")(h)
+        out = _make_conv(self.quantized, self.out_channels, 3, self.dtype,
+                         "conv_out", zero_init=True)(h)
         return out.astype(jnp.float32)
