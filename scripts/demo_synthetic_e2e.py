@@ -34,6 +34,13 @@ def main():
     p.add_argument("--n_samples", type=int, default=128)
     p.add_argument("--small", action="store_true",
                    help="tiny widths for a quick smoke run")
+    p.add_argument("--quant", action="store_true",
+                   help="also sample with the int8 UNet and report its "
+                        "quality metrics next to bf16 (the FID quality gate)")
+    p.add_argument("--usleep_checkpoint", type=str, default=None,
+                   help="run dir with a trained USleep (demo_decode_r2.py); "
+                        "reports FID in the trained feature space alongside "
+                        "the seeded random-init one")
     args = p.parse_args()
 
     from sleepgen.config import Config
@@ -124,7 +131,9 @@ def main():
     ms_pairs_test = float(np.mean(np.asarray(ms_ssim_1d(
         jnp.asarray(test_crop[:-1]), jnp.asarray(test_crop[1:])))))
 
-    # FID over USleep features (seeded random init)
+    # FID over USleep features (seeded random init; reference
+    # compute_fid.py:354-389 uses a pretrained params.pt the repo doesn't
+    # ship — a sleepgen-trained space is supplied via --usleep_checkpoint)
     from sleepgen.cli.compute_fid import load_usleep
     from sleepgen.eval import compute_fid, frechet_distance, usleep_fid_features
 
@@ -133,6 +142,43 @@ def main():
     feats = usleep_fid_features(m, variables, test_crop)
     half = len(feats) // 2
     fid_floor = frechet_distance(feats[:half], feats[half : 2 * half])
+
+    fid_trained = fid_trained_floor = None
+    if args.usleep_checkpoint:
+        mt, vt = load_usleep(args.usleep_checkpoint, seed=0)
+        fid_trained = compute_fid(mt, vt, test_crop, sigs[:k])
+        ft = usleep_fid_features(mt, vt, test_crop)
+        fid_trained_floor = frechet_distance(ft[:half], ft[half : 2 * half])
+
+    quant_metrics = None
+    if args.quant:
+        print(f"[{time.time()-t_start:.0f}s] sampling int8 (quantized UNet)...",
+              flush=True)
+        t_q = time.time()
+        sigs_q = sample_ldm_trials(
+            cfg, best["params"], stage1, float(best["scale_factor"]),
+            out / "samples_int8", 0, args.n_samples,
+            batch_size=min(args.n_samples, 128), compute_psd=False,
+            quantized=True)
+        q_sec = time.time() - t_q
+        from sleepgen.eval.psd import welch_psd as _wp
+
+        fid_q = compute_fid(m, variables, test_crop, sigs_q[:k])
+        pairs_q = float(np.mean(np.asarray(ms_ssim_1d(
+            jnp.asarray(sigs_q[:-1]), jnp.asarray(sigs_q[1:])))))
+        psd_q, _ = _wp(jnp.asarray(sigs_q[..., 0]), fmax=18.0)
+        quant_metrics = {
+            "fid_synth_vs_test": fid_q,
+            "ms_ssim_synth_pairs": pairs_q,
+            "psd_log_correlation": float(np.corrcoef(
+                np.log10(np.asarray(psd_q).mean(0) + 1e-30),
+                np.log10(np.asarray(_wp(jnp.asarray(test_crop[..., 0]),
+                                        fmax=18.0)[0]).mean(0) + 1e-30))[0, 1]),
+            "sample_sec_incl_compile": round(q_sec, 1),
+        }
+        if args.usleep_checkpoint:
+            quant_metrics["fid_trained_features"] = compute_fid(
+                mt, vt, test_crop, sigs_q[:k])
 
     # PSD band-energy overlap
     from sleepgen.eval.psd import welch_psd
@@ -155,6 +201,11 @@ def main():
         "psd_log_correlation": psd_corr,
         "wall_clock_sec": round(time.time() - t_start, 1),
     }
+    if fid_trained is not None:
+        report["fid_trained_features"] = fid_trained
+        report["fid_trained_features_floor"] = fid_trained_floor
+    if quant_metrics is not None:
+        report["int8"] = quant_metrics
     (out / "report.json").write_text(json.dumps(report, indent=1))
     print(json.dumps(report, indent=1))
 

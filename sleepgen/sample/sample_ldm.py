@@ -122,9 +122,11 @@ def sample_ldm_trials(
     base_key: Optional[jax.Array] = None,
     compute_psd: bool = True,
     border_pad: int = BORDER_PAD,
+    quantized: bool = False,
 ) -> np.ndarray:
     """Generate samples for seeds [start_seed, stop_seed) in device batches.
-    Returns all cropped signals (N, 3000, 1)."""
+    Returns all cropped signals (N, 3000, 1). ``quantized=True`` runs the
+    UNet convs int8 (sleepgen.nn.quant), converting the fp params."""
     from sleepgen.train.train_aekl import build_models
     from sleepgen.train.train_ldm import build_unet
 
@@ -133,6 +135,11 @@ def sample_ldm_trials(
     lc = aekl_cfg.aekl.latent_channels
     ae, _ = build_models(aekl_cfg, dtype)
     unet = build_unet(cfg, lc, lc, dtype)
+    if quantized:
+        from sleepgen.nn.quant import quantize_unet_params
+
+        unet = unet.clone(quantized=True)
+        unet_params = quantize_unet_params(unet_params)
     sched = sampling_schedule(cfg)
     sampler = make_ldm_sampler(unet, ae, sched, latent_len=cfg.unet.image_size,
                                latent_channels=lc,

@@ -26,20 +26,41 @@ def setup_run_dir(output_dir: str | Path, run_name: str) -> tuple[Path, bool]:
 
 
 class MetricsLogger:
-    """Append-only JSONL scalar stream, one file per split."""
+    """Append-only JSONL scalar stream, one file per split.
+
+    Set ``SLEEPGEN_TENSORBOARD=1`` to additionally emit TensorBoard event
+    files under ``{run_dir}/tb_{split}`` — restores the reference's dual
+    train/val writer surface (``src/train_autoencoderkl.py:116-117``)
+    without making TB a hard dependency of the JSONL contract.
+    """
 
     def __init__(self, run_dir: str | Path, split: str = "train"):
         self.path = Path(run_dir) / f"metrics_{split}.jsonl"
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._fh = open(self.path, "a", buffering=1)
+        self._tb = None
+        import os
+
+        if os.environ.get("SLEEPGEN_TENSORBOARD"):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(str(Path(run_dir) / f"tb_{split}"))
+            except Exception:  # TB genuinely unavailable: JSONL still works
+                self._tb = None
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in metrics.items()})
         self._fh.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, float(v), int(step))
 
     def close(self):
         self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def log_reconstruction_arrays(

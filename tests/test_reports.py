@@ -29,3 +29,17 @@ def test_report_figures(tmp_path):
     cm = np.array([[5, 1], [0, 4]])
     p4 = save_confusion_matrix_figure(tmp_path / "cm.png", cm, ("A", "B"))
     assert p4.exists()
+
+
+def test_metrics_logger_tensorboard_optin(tmp_path, monkeypatch):
+    """SLEEPGEN_TENSORBOARD=1 writes TB event files next to the JSONL."""
+    monkeypatch.setenv("SLEEPGEN_TENSORBOARD", "1")
+    from sleepgen.utils.logging import MetricsLogger
+
+    lg = MetricsLogger(tmp_path, "train")
+    lg.log(0, {"loss": 1.5})
+    lg.log(1, {"loss": 1.0})
+    lg.close()
+    assert (tmp_path / "metrics_train.jsonl").exists()
+    tb_dir = tmp_path / "tb_train"
+    assert tb_dir.exists() and any(tb_dir.iterdir())
