@@ -141,14 +141,17 @@ def main():
     fid = compute_fid(m, variables, test_crop, sigs[:k])
     feats = usleep_fid_features(m, variables, test_crop)
     half = len(feats) // 2
-    fid_floor = frechet_distance(feats[:half], feats[half : 2 * half])
+    # the floor needs >= 2 windows per half for a covariance
+    fid_floor = (frechet_distance(feats[:half], feats[half : 2 * half])
+                 if half >= 2 else None)
 
     fid_trained = fid_trained_floor = None
     if args.usleep_checkpoint:
         mt, vt = load_usleep(args.usleep_checkpoint, seed=0)
         fid_trained = compute_fid(mt, vt, test_crop, sigs[:k])
         ft = usleep_fid_features(mt, vt, test_crop)
-        fid_trained_floor = frechet_distance(ft[:half], ft[half : 2 * half])
+        if half >= 2:
+            fid_trained_floor = frechet_distance(ft[:half], ft[half : 2 * half])
 
     quant_metrics = None
     if args.quant:
