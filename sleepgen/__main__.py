@@ -17,6 +17,7 @@ COMMANDS = {
     "convert-edfx": "sleepgen.cli.convert_edfx",
     "convert-shhs": "sleepgen.cli.convert_shhs",
     "split-ids": "sleepgen.cli.split_ids",
+    "serve": "sleepgen.cli.serve",
 }
 
 

@@ -1,0 +1,82 @@
+"""CLI: warm sampling service (sleepgen.serve.SamplerService).
+
+The reference's only "serving" is re-running sample_trials.py per request
+(model load + compile every time). This keeps one process-resident,
+pre-compiled sampler and answers requests from stdin (one JSON per line:
+{"seeds": [0, 1, ...]} or {"start": 0, "stop": 128}), writing .npy
+artifacts per request — a minimal production loop that works the same on
+CPU and TPU. With --oneshot it serves a single request from flags and
+exits (useful for scripted benchmarking of warm throughput).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--best_model_path", type=str, required=True,
+                   help="AEKL run dir")
+    p.add_argument("--diffusion_path", type=str, required=True,
+                   help="LDM run dir")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--oneshot", action="store_true",
+                   help="serve one request from --start/--stop and exit")
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--stop", type=int, default=128)
+    p.add_argument("--psd", action="store_true")
+    return p
+
+
+def main(argv=None):
+    from sleepgen.utils.profiling import (enable_compilation_cache,
+                                          maybe_initialize_multihost)
+
+    maybe_initialize_multihost()
+    enable_compilation_cache()
+    import json
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    from sleepgen.serve import SamplerService
+
+    args = build_parser().parse_args(argv)
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    svc = SamplerService.from_run_dirs(args.best_model_path,
+                                       args.diffusion_path,
+                                       batch_size=args.batch_size)
+    compile_s = svc.warmup()
+    print(f"ready (compile {compile_s:.1f}s, batch {args.batch_size})",
+          flush=True)
+
+    def handle(seeds, req_id):
+        if args.psd:
+            sigs, psds, freqs = svc.sample_with_psd(seeds)
+            np.save(out / f"psds_{req_id}.npy", psds)
+        else:
+            sigs = svc.sample(seeds)
+        np.save(out / f"signals_{req_id}.npy", sigs)
+        print(json.dumps({"request": req_id, "n": len(sigs), **svc.stats}),
+              flush=True)
+
+    if args.oneshot:
+        handle(range(args.start, args.stop), 0)
+        return
+
+    for i, line in enumerate(sys.stdin):
+        line = line.strip()
+        if not line:
+            continue
+        req = json.loads(line)
+        seeds = (req["seeds"] if "seeds" in req
+                 else range(req.get("start", 0), req.get("stop", 128)))
+        handle(list(seeds), i)
+
+
+if __name__ == "__main__":
+    main()
