@@ -47,7 +47,9 @@ def main():
 
     dtype = jnp.bfloat16
     ae, _ = build_models(cfg, dtype)
-    unet = build_unet(cfg, LATENT_CH, LATENT_CH, dtype)
+    # sampling fast-math: bf16 GN compute / attention matmuls, fp32 stats +
+    # softmax (cfg.fast_sampling_math default; FID-gated, benches/ablate_unet)
+    unet = build_unet(cfg, LATENT_CH, LATENT_CH, dtype).clone(fast_math=True)
     sched = sampling_schedule(cfg)
 
     rng = jax.random.PRNGKey(0)

@@ -84,6 +84,8 @@ def main(argv=None):
     ckpt.close()
 
     sched = dm_sampling_schedule(cfg, args.num_inference_steps)
+    if cfg.fast_sampling_math and cfg.dtype == "bfloat16":
+        unet = unet.clone(fast_math=True)  # same param tree (layers.py)
 
     @jax.jit
     def sample(params, base_key, seeds):

@@ -143,6 +143,11 @@ class Config:
     dataset: str = "edfx"
     dtype: str = "bfloat16"  # compute dtype on TPU
     use_pallas_norm: bool = False  # fused GroupNorm+SiLU Pallas kernel
+    # Sampling-only mixed precision: GroupNorm compute + attention matmuls in
+    # bf16 (statistics/softmax/accumulation stay fp32). Training is never
+    # affected. Quality-gated by the FID harness; +~45% DDIM throughput on
+    # v5e (benches/ablate_unet.py). Set False for strict fp32-norm sampling.
+    fast_sampling_math: bool = True
 
     # -- I/O ------------------------------------------------------------------
     def to_yaml(self, path: str | Path) -> None:

@@ -72,12 +72,20 @@ class GroupNorm32(nn.Module):
     ``fuse_silu`` folds the SiLU that follows every ResBlock norm into the
     same op; ``use_pallas`` routes through the fused Pallas TPU kernel
     (sleepgen.pallas_kernels.group_norm) — identical math, same param tree.
+
+    ``compute_dtype`` (inference fast-math): when set to the model's compute
+    dtype (bf16), normalization/affine/SiLU run in that dtype while the
+    statistics stay fp32 (flax's ``nn.GroupNorm`` always promotes mean/var
+    to float32) — same param tree, no fp32 round-trips of the activation.
+    Measured on v5e: the fp32 round-trips cost ~21% of DDIM sampling time
+    (benches/ablate_unet.py). Training keeps the default full-fp32 path.
     """
 
     num_groups: int = 32
     epsilon: float = 1e-6
     fuse_silu: bool = False
     use_pallas: bool = False
+    compute_dtype: Dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -88,6 +96,14 @@ class GroupNorm32(nn.Module):
             scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()
             return fused_group_norm_silu(
                 x, scale, bias, self.num_groups, self.epsilon, self.fuse_silu)
+        if self.compute_dtype is not None and self.compute_dtype != jnp.float32:
+            y = nn.GroupNorm(
+                num_groups=self.num_groups,
+                epsilon=self.epsilon,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+            )(x)
+            return nn.silu(y) if self.fuse_silu else y
         y = nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=self.epsilon,
@@ -136,6 +152,12 @@ class SelfAttention1d(nn.Module):
     projection — parity with ``QKVAttentionLegacy``/``AttentionBlock``
     (reference ``src/models/unet.py:97-174``). Residual is added by the
     caller's wrapper when needed.
+
+    ``mixed_precision`` (inference fast-math): run the QK/AV matmuls with
+    bf16 inputs and fp32 MXU accumulation (``preferred_element_type``)
+    instead of casting q/k to fp32 — softmax stays fp32. fp32 matmuls run
+    at 1/8 MXU rate on v5e; measured ~18% of DDIM sampling time
+    (benches/ablate_unet.py). Training keeps the fp32-einsum default.
     """
 
     num_heads: int = 1
@@ -143,6 +165,7 @@ class SelfAttention1d(nn.Module):
     zero_out: bool = True
     kv_block_size: int = 0  # >0: blockwise (flash-style) attention
     quantized: bool = False  # int8 qkv/proj projections (sleepgen.nn.quant)
+    mixed_precision: bool = False
 
     def _proj(self, features: int, name: str, zero_init: bool = False):
         if self.quantized:
@@ -162,15 +185,22 @@ class SelfAttention1d(nn.Module):
         qkv = qkv.reshape(b, l, h, 3 * d)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(d, jnp.float32)))
-        q = q.astype(jnp.float32) * scale
-        k = k.astype(jnp.float32) * scale
+        if self.mixed_precision:
+            q = (q.astype(jnp.float32) * scale).astype(self.dtype)
+            k = (k.astype(jnp.float32) * scale).astype(self.dtype)
+        else:
+            q = q.astype(jnp.float32) * scale
+            k = k.astype(jnp.float32) * scale
         if self.kv_block_size and l > self.kv_block_size:
             from sleepgen.nn.blockwise_attention import blockwise_attention
 
-            out = blockwise_attention(q, k, v, self.kv_block_size)
+            out = blockwise_attention(q.astype(jnp.float32),
+                                      k.astype(jnp.float32), v,
+                                      self.kv_block_size)
             out = out.astype(self.dtype).reshape(b, l, c)
         else:
-            logits = jnp.einsum("bihd,bjhd->bhij", q, k)
+            logits = jnp.einsum("bihd,bjhd->bhij", q, k,
+                                preferred_element_type=jnp.float32)
             weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhij,bjhd->bihd", weights, v.astype(self.dtype))
             out = out.reshape(b, l, c)
@@ -185,10 +215,14 @@ class AttentionBlock1d(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas_norm: bool = False
     quantized: bool = False
+    fast_math: bool = False  # inference-only: bf16 GN compute + matmuls
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = GroupNorm32(self.num_groups, use_pallas=self.use_pallas_norm)(x)
+        gn_dtype = self.dtype if self.fast_math else None
+        h = GroupNorm32(self.num_groups, use_pallas=self.use_pallas_norm,
+                        compute_dtype=gn_dtype)(x)
         h = SelfAttention1d(num_heads=self.num_heads, dtype=self.dtype,
-                            quantized=self.quantized)(h)
+                            quantized=self.quantized,
+                            mixed_precision=self.fast_math)(h)
         return x + h

@@ -20,6 +20,15 @@ Scheme:
 This is beyond-reference capability: the reference samples in fp32 eager
 PyTorch (src/sample_trials.py:149-163). Quality is gated by the FID/PSD
 harness (scripts/demo_synthetic_e2e.py --quant).
+
+MEASURED RESULT (v5e, round 2, benches/quant_sampler.py): int8 is SLOWER
+than bf16 for this model — 35.5 vs 47.1 windows/s at batch 64. The dynamic
+activation quantization adds a full-tensor reduce per conv and the im2col
+stack triples activation HBM traffic; at C <= 512 the sampler becomes
+HBM-bound and the 2x int8 MXU peak never materializes. The path is kept as
+a tested negative result; production sampling uses bf16 fast-math
+(UNet1d.fast_math / config.fast_sampling_math) instead. See BASELINE.md
+"Int8 quantized sampling".
 """
 from __future__ import annotations
 

@@ -68,14 +68,17 @@ class TimestepResBlock(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas_norm: bool = False
     quantized: bool = False
+    fast_math: bool = False  # inference-only: bf16 GN compute (fp32 stats)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         out_ch = self.out_channels
+        gn_dtype = self.dtype if self.fast_math else None
 
         h = GroupNorm32(self.num_groups, fuse_silu=True,
-                        use_pallas=self.use_pallas_norm)(x)
+                        use_pallas=self.use_pallas_norm,
+                        compute_dtype=gn_dtype)(x)
         if self.up:
             h = nearest_upsample_1d(h)
             x = nearest_upsample_1d(x)
@@ -93,12 +96,14 @@ class TimestepResBlock(nn.Module):
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = GroupNorm32(self.num_groups,
-                            use_pallas=self.use_pallas_norm)(h) * (1 + scale) + shift
+                            use_pallas=self.use_pallas_norm,
+                            compute_dtype=gn_dtype)(h) * (1 + scale) + shift
             h = nn.silu(h)
         else:
             h = h + emb_out
             h = GroupNorm32(self.num_groups, fuse_silu=True,
-                            use_pallas=self.use_pallas_norm)(h)
+                            use_pallas=self.use_pallas_norm,
+                            compute_dtype=gn_dtype)(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = _make_conv(self.quantized, out_ch, 3, self.dtype, "out_conv",
@@ -128,6 +133,11 @@ class UNet1d(nn.Module):
     # int8 inference path (sampling only): apply with params converted by
     # sleepgen.nn.quant.quantize_unet_params
     quantized: bool = False
+    # inference fast-math (sampling only): GroupNorm compute and attention
+    # matmuls in the compute dtype (statistics / softmax / accumulation stay
+    # fp32). Same param tree as the strict path; quality-gated by the FID
+    # harness. Measured +~45% DDIM throughput on v5e (benches/ablate_unet.py).
+    fast_math: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
@@ -160,6 +170,7 @@ class UNet1d(nn.Module):
                 dtype=self.dtype,
                 use_pallas_norm=self.use_pallas_norm,
                 quantized=self.quantized,
+                fast_math=self.fast_math,
                 name=name,
                 **kw,
             )(h, e, deterministic)
@@ -169,6 +180,7 @@ class UNet1d(nn.Module):
                                     self.dtype,
                                     use_pallas_norm=self.use_pallas_norm,
                                     quantized=self.quantized,
+                                    fast_math=self.fast_math,
                                     name=name)(h)
 
         h = _make_conv(self.quantized, mc, 3, self.dtype,
@@ -213,7 +225,8 @@ class UNet1d(nn.Module):
         assert not hs, "skip stack imbalance"
 
         h = GroupNorm32(self.num_groups, fuse_silu=True,
-                        use_pallas=self.use_pallas_norm)(h)
+                        use_pallas=self.use_pallas_norm,
+                        compute_dtype=self.dtype if self.fast_math else None)(h)
         out = _make_conv(self.quantized, self.out_channels, 3, self.dtype,
                          "conv_out", zero_init=True)(h)
         return out.astype(jnp.float32)

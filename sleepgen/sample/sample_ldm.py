@@ -135,6 +135,8 @@ def sample_ldm_trials(
     lc = aekl_cfg.aekl.latent_channels
     ae, _ = build_models(aekl_cfg, dtype)
     unet = build_unet(cfg, lc, lc, dtype)
+    if cfg.fast_sampling_math and dtype == jnp.bfloat16:
+        unet = unet.clone(fast_math=True)
     if quantized:
         from sleepgen.nn.quant import quantize_unet_params
 

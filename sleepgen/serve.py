@@ -80,6 +80,8 @@ class SamplerService:
             ae, _ = build_models(self.aekl_cfg, dtype)
             lc = self.aekl_cfg.aekl.latent_channels
             unet = build_unet(self.cfg, lc, lc, dtype)
+            if self.cfg.fast_sampling_math and dtype == jnp.bfloat16:
+                unet = unet.clone(fast_math=True)
             sched = sampling_schedule(self.cfg)
             self._samplers[batch] = make_ldm_sampler(
                 unet, ae, sched, self.cfg.unet.image_size, lc,

@@ -115,3 +115,37 @@ def test_ema_tracking():
     d_ema = np.abs(ema - init).mean()
     d_raw = np.abs(raw - init).mean()
     assert d_ema < d_raw  # EMA lags behind
+
+
+def test_fast_math_sampler_tracks_strict():
+    """Inference fast-math (bf16 GroupNorm compute + bf16 attention matmuls,
+    fp32 stats/softmax) must share the strict bf16 path's param tree and
+    track its output closely — it is the default sampling configuration
+    (config.fast_sampling_math)."""
+    rng = jax.random.PRNGKey(1)
+    x0 = jnp.zeros((2, 64, 1))
+    t0 = jnp.zeros((2,), jnp.int32)
+    strict = _mini_unet(jnp.bfloat16)
+    params = strict.init(rng, x0, t0)["params"]
+    fast = strict.clone(fast_math=True)
+
+    # identical param trees: trained checkpoints load into either path
+    fast_params = fast.init(rng, x0, t0)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(fast_params)
+
+    sched = NoiseSchedule.create("scaled_linear_beta", 1000, 0.0015, 0.0205,
+                                 prediction_type="v_prediction")
+    seeds = jnp.arange(4)
+    x_T = seed_noise(rng, seeds, (64, 1))
+
+    def run(model):
+        def fn(x, t):
+            return model.apply({"params": params}, x, t)
+        return np.asarray(ddim_sample_loop(fn, sched, x_T, 20))
+
+    y_strict, y_fast = run(strict), run(fast)
+    assert np.all(np.isfinite(y_fast))
+    corr = np.corrcoef(y_strict.ravel(), y_fast.ravel())[0, 1]
+    assert corr > 0.99
+    np.testing.assert_allclose(y_fast, y_strict, atol=0.15)
