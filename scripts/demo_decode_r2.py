@@ -120,6 +120,11 @@ def main():
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
+    # First device contact, done eagerly: the axon relay occasionally wedges
+    # a fresh client at its first request (blocked recv, no progress). The
+    # marker line lets scripts/run_with_tpu_retry.sh detect and restart.
+    jax.jit(lambda: jnp.zeros(()))().block_until_ready()
+    print("TPU_CONTACT_OK", flush=True)
     report: dict = {"device": str(jax.devices()[0])}
 
     x, y, rids = make_synthetic_staged(args.n_recordings, args.n_epochs_per_rec)
