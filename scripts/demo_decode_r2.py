@@ -120,12 +120,35 @@ def main():
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
+    # Persistent XLA cache: decode train-step compiles through the relay are
+    # minutes-long (measured 382 s for the plain-Chambon step); caching makes
+    # supervisor retries and reruns cheap.
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     # First device contact, done eagerly: the axon relay occasionally wedges
     # a fresh client at its first request (blocked recv, no progress). The
     # marker line lets scripts/run_with_tpu_retry.sh detect and restart.
     jax.jit(lambda: jnp.zeros(()))().block_until_ready()
     print("TPU_CONTACT_OK", flush=True)
     report: dict = {"device": str(jax.devices()[0])}
+
+    # Resumability for the retry supervisor: completed sections are persisted
+    # to out/partial_report.json and skipped on rerun, so a mid-run relay
+    # wedge costs at most one section.
+    partial_path = out / "partial_report.json"
+    if partial_path.exists():
+        prior = json.loads(partial_path.read_text())
+        report.update(prior)
+        for sec, key in [("a", "variant_a"), ("b", "variant_b"),
+                         ("c", "variant_c"), ("ref", "reference_ckpt_a"),
+                         ("usleep", "usleep")]:
+            if key in prior:
+                skip.add(sec)
+        print(f"resuming; done sections: {sorted(prior)}", flush=True)
+
+    def save_partial():
+        partial_path.write_text(json.dumps(report, indent=1))
 
     x, y, rids = make_synthetic_staged(args.n_recordings, args.n_epochs_per_rec)
     recs = np.unique(rids)
@@ -155,6 +178,7 @@ def main():
         report["variant_a"] = {"best_valid_bal_acc": res_a.best_valid_bal_acc,
                                "sec": round(time.time() - t, 1)}
         print("variant a:", report["variant_a"], flush=True)
+        save_partial()
 
     if "b" not in skip:
         t = time.time()
@@ -165,6 +189,7 @@ def main():
         report["variant_b"] = {"best_valid_bal_acc": res_b.best_valid_bal_acc,
                                "sec": round(time.time() - t, 1)}
         print("variant b:", report["variant_b"], flush=True)
+        save_partial()
 
     if "c" not in skip:
         t = time.time()
@@ -174,6 +199,7 @@ def main():
         report["variant_c"] = {"best_valid_bal_acc": res_c.best_valid_bal_acc,
                                "sec": round(time.time() - t, 1)}
         print("variant c:", report["variant_c"], flush=True)
+        save_partial()
 
     # reference shipped checkpoints end-to-end
     if "ref" not in skip:
@@ -211,6 +237,7 @@ def main():
             acc = balanced_accuracy(yva, logits.argmax(-1), 5)
             report["reference_ckpt_b"] = {"balanced_acc_on_synthetic": acc}
             print("reference ckpt b:", report["reference_ckpt_b"], flush=True)
+        save_partial()
 
     if "usleep" not in skip:
         t = time.time()
@@ -223,6 +250,7 @@ def main():
                             "checkpoint": str(out / "usleep_run"),
                             "sec": round(time.time() - t, 1)}
         print("usleep:", report["usleep"], flush=True)
+        save_partial()
 
     report["wall_clock_sec"] = round(time.time() - t0, 1)
     Path("DEMO_DECODE_r2.json").write_text(json.dumps(report, indent=1))

@@ -1,33 +1,74 @@
 #!/bin/bash
-# Supervise a TPU job against the axon relay's first-contact wedge: a fresh
-# client occasionally blocks forever in its first recv. The supervised
-# command must print TPU_CONTACT_OK once its first device op completes
-# (see scripts/demo_decode_r2.py); attempts that do not print it within
-# $CONTACT_DEADLINE seconds are killed and retried.
+# Supervise a TPU job against the axon relay's wedge modes: a client can
+# block forever in a socket recv either at its FIRST device request or at a
+# random request mid-run (kernel stack tcp_recvmsg, CPU time frozen). A
+# retry in a fresh process succeeds, so supervision = detect + restart.
+#
+#  * first-contact: the command must print TPU_CONTACT_OK once its first
+#    device op completes (demo scripts do an eager trivial jit); attempts
+#    that do not print it within $CONTACT_DEADLINE seconds are restarted.
+#  * mid-run stall: after contact, the child's cumulative CPU time is
+#    sampled every 30 s; if it does not advance for $STALL_SECS the attempt
+#    is restarted. STALL_SECS must exceed the longest legitimate remote
+#    compile (measured: 382 s for a small decode train step; DeepSleepNet likely far
+#    longer); default 2700 s.
+#
+# Restarted jobs must be resumable (demo scripts persist per-section
+# results and skip completed sections on rerun).
 #
 # Usage: run_with_tpu_retry.sh LOGFILE CMD [ARGS...]
 set -u
 LOG=$1; shift
 CONTACT_DEADLINE=${CONTACT_DEADLINE:-240}
-MAX_ATTEMPTS=${MAX_ATTEMPTS:-5}
+STALL_SECS=${STALL_SECS:-2700}
+MAX_ATTEMPTS=${MAX_ATTEMPTS:-8}
+
+cpu_ticks() {  # utime+stime of pid $1, in clock ticks; empty if gone
+  awk '{print $14 + $15}' "/proc/$1/stat" 2>/dev/null
+}
 
 for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   : > "$LOG"
   "$@" >> "$LOG" 2>&1 &
   pid=$!
   echo "[retry-supervisor] attempt $attempt pid $pid" >&2
+
   ok=""
   for ((i = 0; i < CONTACT_DEADLINE / 5; i++)); do
     sleep 5
-    if ! kill -0 "$pid" 2>/dev/null; then break; fi
+    kill -0 "$pid" 2>/dev/null || break
     if grep -q TPU_CONTACT_OK "$LOG"; then ok=1; break; fi
   done
+
   if [ -n "$ok" ]; then
-    wait "$pid"
-    exit $?
+    # contact established: watch for mid-run stalls until exit
+    last_ticks=$(cpu_ticks "$pid")
+    frozen=0
+    while kill -0 "$pid" 2>/dev/null; do
+      sleep 30
+      now_ticks=$(cpu_ticks "$pid")
+      [ -z "$now_ticks" ] && break
+      if [ "$now_ticks" = "$last_ticks" ]; then
+        frozen=$((frozen + 30))
+        if [ "$frozen" -ge "$STALL_SECS" ]; then
+          echo "[retry-supervisor] CPU frozen ${frozen}s mid-run; restarting" >&2
+          kill "$pid" 2>/dev/null; sleep 2; kill -9 "$pid" 2>/dev/null
+          frozen=-1  # marker: stalled
+          break
+        fi
+      else
+        frozen=0
+        last_ticks=$now_ticks
+      fi
+    done
+    if [ "$frozen" -ge 0 ]; then
+      wait "$pid"
+      exit $?
+    fi
+    continue  # stalled: next attempt
   fi
+
   if ! kill -0 "$pid" 2>/dev/null; then
-    # process exited before contact: propagate its status
     wait "$pid"
     rc=$?
     [ "$rc" -eq 0 ] && exit 0
