@@ -39,6 +39,12 @@ def main():
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    jax.jit(lambda: jnp.zeros(()))().block_until_ready()
+    print("TPU_CONTACT_OK", flush=True)
+
     cfg = Config()
     cfg.train.output_dir = str(out)
     cfg.train.batch_size = 128

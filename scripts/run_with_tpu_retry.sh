@@ -39,6 +39,8 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
     kill -0 "$pid" 2>/dev/null || break
     if grep -q TPU_CONTACT_OK "$LOG"; then ok=1; break; fi
   done
+  # the job may have printed the marker and exited within one poll interval
+  [ -z "$ok" ] && grep -q TPU_CONTACT_OK "$LOG" && ok=1
 
   if [ -n "$ok" ]; then
     # contact established: watch for mid-run stalls until exit
