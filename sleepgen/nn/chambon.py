@@ -17,6 +17,45 @@ from flax import linen as nn
 from sleepgen.nn.layers import Dtype, conv1d
 
 
+class Im2ColConv1d(nn.Module):
+    """conv1d expressed as window-stack + one matmul, same params/output.
+
+    Motivation (TPU compile time): XLA's backward pass for a wide-kernel,
+    few-channel 1-D conv (Chambon's k=50, cin=1) materializes the weight
+    gradient as a ~(T-k)-tap convolution whose TPU lowering compiles
+    pathologically slowly through this environment's device relay
+    (measured: 382 s for the plain Chambon train step vs seconds for
+    USleep's k=9 convs). The im2col form differentiates into plain
+    matmuls and slices, which compile fast. Param tree ("kernel" of shape
+    (k, cin, features), "bias") matches nn.Conv exactly, so checkpoints
+    and the torch importer are unaffected.
+    """
+
+    features: int
+    kernel: int
+    padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, cin = x.shape
+        k = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, cin, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        lo, hi = self.padding
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (lo, hi), (0, 0)))
+        t_out = t + lo + hi - k + 1
+        taps = [xp[:, d : d + t_out, :] for d in range(k)]
+        cols = jnp.concatenate(taps, axis=-1)  # (B, T', k*cin)
+        y = cols @ w.reshape(k * cin, self.features).astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ChambonFeatureExtractor(nn.Module):
     n_chans: int = 1
     sfreq: float = 100.0
@@ -55,13 +94,13 @@ class ChambonFeatureExtractor(nn.Module):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=jnp.float32, name=name)
 
-        h = conv1d(self.n_conv_chs, k, padding=[(pad, pad)], dtype=self.dtype,
-                   name="conv1")(h)
+        h = Im2ColConv1d(self.n_conv_chs, k, padding=(pad, pad),
+                         dtype=self.dtype, name="conv1")(h)
         h = bn("bn1")(h) if self.apply_batch_norm else h
         h = nn.relu(h)
         h = nn.max_pool(h, (pool,), strides=(pool,), padding="VALID")
-        h = conv1d(self.n_conv_chs, k, padding=[(pad, pad)], dtype=self.dtype,
-                   name="conv2")(h)
+        h = Im2ColConv1d(self.n_conv_chs, k, padding=(pad, pad),
+                         dtype=self.dtype, name="conv2")(h)
         h = bn("bn2")(h) if self.apply_batch_norm else h
         h = nn.relu(h)
         h = nn.max_pool(h, (pool,), strides=(pool,), padding="VALID")

@@ -104,3 +104,25 @@ def test_deepsleepnet_forward_shapes():
     xs = jnp.zeros((2, 3, 3000, 1))
     ys = m.apply(v, xs, train=False)
     assert ys.shape == (2, 3, 5)
+
+
+def test_im2col_conv_matches_nn_conv():
+    """Im2ColConv1d must be numerically identical (same params) to the
+    nn.Conv it replaces — it exists only to sidestep the pathological
+    TPU compile of wide-kernel conv backward passes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sleepgen.nn.chambon import Im2ColConv1d
+    from sleepgen.nn.layers import conv1d
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 301, 3))
+    ref = conv1d(8, 50, padding=[(10, 10)])
+    vref = ref.init(rng, x)
+    m = Im2ColConv1d(8, 50, padding=(10, 10))
+    y_ref = ref.apply(vref, x)
+    y = m.apply(vref, x)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
