@@ -33,22 +33,29 @@ class Im2ColConv1d(nn.Module):
 
     features: int
     kernel: int
-    padding: tuple[int, int] = (0, 0)
+    stride: int = 1
+    padding: tuple[int, int] | str = (0, 0)
     use_bias: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, cin = x.shape
-        k = self.kernel
+        k, s = self.kernel, self.stride
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (k, cin, self.features), jnp.float32)
         bias = (self.param("bias", nn.initializers.zeros, (self.features,),
                            jnp.float32) if self.use_bias else None)
-        lo, hi = self.padding
+        if self.padding == "SAME":
+            t_out = -(-t // s)
+            total = max((t_out - 1) * s + k - t, 0)
+            lo, hi = total // 2, total - total // 2
+        else:
+            lo, hi = self.padding
+            t_out = (t + lo + hi - k) // s + 1
         xp = jnp.pad(x.astype(self.dtype), ((0, 0), (lo, hi), (0, 0)))
-        t_out = t + lo + hi - k + 1
-        taps = [xp[:, d : d + t_out, :] for d in range(k)]
+        span = (t_out - 1) * s + 1
+        taps = [xp[:, d : d + span : s, :] for d in range(k)]
         cols = jnp.concatenate(taps, axis=-1)  # (B, T', k*cin)
         y = cols @ w.reshape(k * cin, self.features).astype(self.dtype)
         if bias is not None:

@@ -33,8 +33,13 @@ class _CNNBranch(nn.Module):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=jnp.float32, name=name)
 
-        h = conv1d(64, self.kernel, stride=self.stride, use_bias=False,
-                   dtype=self.dtype, name="conv1")(x)
+        # im2col form: the wide-kernel (sfreq/2 and sfreq*4), cin=1 entry
+        # convs compile pathologically slowly on the TPU backend as
+        # lax.conv (see chambon.Im2ColConv1d); identical math and params
+        from sleepgen.nn.chambon import Im2ColConv1d
+
+        h = Im2ColConv1d(64, self.kernel, stride=self.stride, padding="SAME",
+                         use_bias=False, dtype=self.dtype, name="conv1")(x)
         h = bn("bn1")(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (self.pool1,), strides=(self.pool1,), padding="SAME")

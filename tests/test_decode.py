@@ -126,3 +126,23 @@ def test_im2col_conv_matches_nn_conv():
     assert y.shape == y_ref.shape
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_im2col_conv_strided_same_matches_nn_conv():
+    """Strided SAME-padded im2col form == nn.Conv (DeepSleepNet entry convs)."""
+    import jax
+    import numpy as np
+    from sleepgen.nn.chambon import Im2ColConv1d
+    from sleepgen.nn.layers import conv1d
+
+    rng = jax.random.PRNGKey(1)
+    for k, s, t in [(50, 6, 3000), (400, 50, 3000), (7, 3, 29)]:
+        x = jax.random.normal(jax.random.fold_in(rng, k), (2, t, 1))
+        ref = conv1d(16, k, stride=s, use_bias=False)
+        vref = ref.init(rng, x)
+        m = Im2ColConv1d(16, k, stride=s, padding="SAME", use_bias=False)
+        y_ref = ref.apply(vref, x)
+        y = m.apply(vref, x)
+        assert y.shape == y_ref.shape, (k, s, y.shape, y_ref.shape)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
