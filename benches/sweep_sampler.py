@@ -42,7 +42,8 @@ def main():
 
     dtype = jnp.bfloat16
     ae, _ = build_models(cfg, dtype)
-    unet = build_unet(cfg, LATENT_CH, LATENT_CH, dtype)
+    # default sampling configuration (config.fast_sampling_math)
+    unet = build_unet(cfg, LATENT_CH, LATENT_CH, dtype).clone(fast_math=True)
     sched = sampling_schedule(cfg)
 
     rng = jax.random.PRNGKey(0)
