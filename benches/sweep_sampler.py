@@ -63,7 +63,10 @@ def main():
     lowered = fwd.lower(unet_params, zb, tb)
     cost = lowered.compile().cost_analysis()
     flops = cost.get("flops", float("nan"))
-    dt = timeit(lambda p: fwd(p, zb, tb), unet_params, n=20)
+    # vary the input per iteration — identical args through the relay can
+    # be memoized and report impossibly fast times (BASELINE.md caveat)
+    dt = timeit(lambda p, k: fwd(p, zb + jax.random.normal(
+        k, zb.shape, dtype), tb), unet_params, n=20, key=rng)
     results["unet_fwd_b64"] = {"sec": dt, "gflops": flops / 1e9,
                                "tflops_per_s": flops / dt / 1e12}
 

@@ -4,3 +4,4 @@ from sleepgen.pallas_kernels.group_norm import (
 )
 
 __all__ = ["fused_group_norm_silu", "group_norm_silu_reference"]
+from sleepgen.pallas_kernels.group_norm import group_norm_silu_tiled  # noqa: F401,E402

@@ -20,16 +20,26 @@ Design notes (TPU lane layout):
 backward differentiates the pure-jnp reference implementation (identical
 math), so the op is safe inside training steps.
 
-Measured on v5e (round 1, 50-iter mean): XLA's own fusion of the jnp
-reference is FASTER than this kernel for the model's shapes —
-(256, 3072, 32, G=1): XLA 0.94 ms vs Pallas 2.17 ms;
-(256, 768, 128, G=32): XLA 0.88 ms vs Pallas 1.29 ms.
-The activations here are small (C < 128 lanes at G=1) and XLA pipelines
-the fused reduce+elementwise well. Consequently ``use_pallas_norm``
-defaults to False everywhere; the kernel stays as a correct, tested
-baseline for future shapes where manual fusion pays (e.g. multi-minute
-windows) — per the TPU-first rule: don't hand-schedule what the compiler
-already schedules better.
+Measured on v5e (round 2, benches/bench_groupnorm.py, 50-iter mean,
+bf16 input; round-1 numbers reproduced within noise):
+
+| shape (B, L, C, G)        | XLA fusion | one-pass | L-tiled two-pass |
+|---------------------------|-----------:|---------:|-----------------:|
+| (256, 3072, 32, 1)  AE    |    0.89 ms |  2.06 ms |          2.89 ms |
+| (256, 768, 128, 32) UNet  |    0.82 ms |  1.53 ms |          1.16 ms |
+| (16, 49152, 32, 1)  long  |    1.35 ms |  VMEM OOM (48M>16M) | 2.82 ms |
+
+Conclusions (VERDICT r1 item 8):
+  * XLA's own fusion of the jnp reference wins at EVERY measured shape —
+    the activations are small and XLA pipelines reduce+elementwise well.
+    ``use_pallas_norm`` therefore stays False everywhere; per the
+    TPU-first rule, don't hand-schedule what the compiler schedules
+    better. (For sampling throughput the real win was removing the fp32
+    round-trips — see layers.GroupNorm32 compute_dtype, +21%.)
+  * The round-1 one-pass kernel cannot run long windows at all (whole
+    (L, C) slice in VMEM). ``group_norm_silu_tiled`` (two passes, O(tile*C)
+    VMEM) is the correct Pallas form there and beats one-pass at G=32,
+    but still loses to XLA — kept as the tested long-window fallback.
 """
 from __future__ import annotations
 
@@ -119,6 +129,91 @@ def fused_group_norm_silu(x, scale, bias, num_groups: int, eps: float = 1e-6,
     interpreter elsewhere (tests), jnp-reference gradients."""
     return _pallas_forward(x, scale, bias, num_groups, eps, apply_silu,
                            interpret=not _on_tpu())
+
+
+def _stats_kernel(x_ref, o_ref):
+    """Per-(batch, L-tile) partial channel sums.
+
+    Output block (1, 8, 2C) — row 0 = sum, row 1 = sumsq, rows 2-7 padding
+    to satisfy the mosaic sublane rule (second-to-last block dim % 8 == 0).
+    """
+    x = x_ref[0].astype(jnp.float32)  # (TL, C)
+    s = jnp.sum(x, axis=0, keepdims=True)
+    ss = jnp.sum(x * x, axis=0, keepdims=True)
+    row = jnp.concatenate([s, ss], axis=-1)  # (1, 2C)
+    o_ref[0] = jnp.pad(row, ((0, 7), (0, 0)))
+
+
+def _apply_kernel(x_ref, mean_ref, inv_ref, scale_ref, bias_ref, o_ref, *,
+                  apply_silu):
+    x = x_ref[0].astype(jnp.float32)  # (TL, C)
+    y = (x - mean_ref[0, 0]) * inv_ref[0, 0]
+    y = y * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    if apply_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def group_norm_silu_tiled(
+    x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+    num_groups: int, eps: float = 1e-6, apply_silu: bool = True,
+    tile: int = 512, interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Two-pass L-tiled GroupNorm(+SiLU): pass 1 streams (tile, C) blocks
+    computing partial channel sums, a tiny jnp reduction forms per-group
+    mean/rsqrt, pass 2 streams blocks again to normalize. VMEM residency
+    is O(tile*C) instead of O(L*C) — the VERDICT-r1 item-8 variant for
+    long-window shapes. Forward-only building block (wrap like
+    fused_group_norm_silu for training); measured results in
+    benches/bench_groupnorm.py and the module docstring.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    b, l, c = x.shape
+    tile = min(tile, l)
+    while l % tile:  # shrink to a divisor (l is always a multiple of 8 here)
+        tile //= 2
+    nt = l // tile
+    d = c // num_groups
+
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    partial = pl.pallas_call(
+        _stats_kernel,
+        grid=(b, nt),
+        in_specs=[pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                               memory_space=mem)],
+        out_specs=pl.BlockSpec((1, 8, 2 * c), lambda i, j: (i * nt + j, 0, 0),
+                               memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct((b * nt, 8, 2 * c), jnp.float32),
+        interpret=interpret,
+    )(x)
+
+    sums = jnp.sum(partial[:, 0, :].reshape(b, nt, 2 * c), axis=1)  # (B, 2C)
+    s, ss = jnp.split(sums, 2, axis=-1)
+    gs = jnp.sum(s.reshape(b, num_groups, d), axis=-1)
+    gss = jnp.sum(ss.reshape(b, num_groups, d), axis=-1)
+    n = jnp.float32(l * d)
+    mean_g = gs / n
+    inv_g = jax.lax.rsqrt(gss / n - mean_g * mean_g + eps)
+    mean_c = jnp.repeat(mean_g, d, axis=-1).reshape(b, 1, c)
+    inv_c = jnp.repeat(inv_g, d, axis=-1).reshape(b, 1, c)
+
+    kern = functools.partial(_apply_kernel, apply_silu=apply_silu)
+    return pl.pallas_call(
+        kern,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0), memory_space=mem),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=mem),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                               memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, mean_c, inv_c, scale[None, :], bias[None, :])
 
 
 def _fwd(x, scale, bias, num_groups, eps, apply_silu):

@@ -52,3 +52,21 @@ def test_unet_with_pallas_norm_matches_unfused():
     y1 = m1.apply(p0, x, t)  # same params by construction
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_tiled_group_norm_matches_reference():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sleepgen.pallas_kernels import group_norm_silu_tiled, \
+        group_norm_silu_reference
+
+    rng = jax.random.PRNGKey(3)
+    for (b, l, c, g, tile) in [(2, 1024, 32, 1, 256), (2, 512, 64, 8, 128)]:
+        x = jax.random.normal(jax.random.fold_in(rng, l), (b, l, c))
+        scale = jax.random.normal(jax.random.fold_in(rng, 1), (c,)) + 1.0
+        bias = jax.random.normal(jax.random.fold_in(rng, 2), (c,))
+        y = group_norm_silu_tiled(x, scale, bias, g, tile=tile)
+        y_ref = group_norm_silu_reference(x, scale, bias, g)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
