@@ -10,6 +10,7 @@ runs noise -> 200-step DDIM scan -> stage-1 decode -> crop in ONE jit.
 """
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -41,12 +42,27 @@ def make_ldm_sampler(
     num_inference_steps: int = 200,
     border_pad: int = BORDER_PAD,
     sampler: str = "ddim",
+    mesh=None,
 ):
     """Returns jitted (unet_params, ae_params, scale_factor, base_key, seeds)
     -> (B, 3000, 1) signals. ``sampler``: "ddim" (reference parity) or
-    "dpm++2m" (DPM-Solver++ 2M — same quality in ~10x fewer steps)."""
+    "dpm++2m" (DPM-Solver++ 2M — same quality in ~10x fewer steps).
 
-    @jax.jit
+    ``mesh``: a ``jax.sharding.Mesh`` for data-parallel sampling — seeds
+    (and the output batch) shard over the ``data`` axis, parameters are
+    replicated, and XLA runs the whole scan per shard with no collectives
+    (per-seed noise comes from ``fold_in``, so samples are bitwise
+    independent of the device count — pinned by tests/test_parallel.py)."""
+    if mesh is not None:
+        from sleepgen.parallel import batch_sharding, replicated
+
+        rep, bat = replicated(mesh), batch_sharding(mesh)
+        jit_kwargs = dict(in_shardings=(rep, rep, rep, rep, bat),
+                          out_shardings=bat)
+    else:
+        jit_kwargs = {}
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def sample(unet_params, ae_params, scale_factor, base_key, seeds):
         x_T = seed_noise(base_key, seeds, (latent_len, latent_channels))
 
@@ -123,10 +139,14 @@ def sample_ldm_trials(
     compute_psd: bool = True,
     border_pad: int = BORDER_PAD,
     quantized: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """Generate samples for seeds [start_seed, stop_seed) in device batches.
     Returns all cropped signals (N, 3000, 1). ``quantized=True`` runs the
-    UNet convs int8 (sleepgen.nn.quant), converting the fp params."""
+    UNet convs int8 (sleepgen.nn.quant), converting the fp params.
+    ``mesh``: shard each seed batch over the mesh's data axis (batch_size
+    must divide by the data-axis size); samples are identical to the
+    single-device output."""
     from sleepgen.train.train_aekl import build_models
     from sleepgen.train.train_ldm import build_unet
 
@@ -143,11 +163,14 @@ def sample_ldm_trials(
         unet = unet.clone(quantized=True)
         unet_params = quantize_unet_params(unet_params)
     sched = sampling_schedule(cfg)
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        assert batch_size % n_data == 0, (batch_size, n_data)
     sampler = make_ldm_sampler(unet, ae, sched, latent_len=cfg.unet.image_size,
                                latent_channels=lc,
                                num_inference_steps=cfg.diffusion.num_inference_steps,
                                border_pad=border_pad,
-                               sampler=cfg.diffusion.sampler)
+                               sampler=cfg.diffusion.sampler, mesh=mesh)
     base_key = base_key if base_key is not None else jax.random.PRNGKey(0)
     sf = jnp.asarray(scale_factor, jnp.float32)
 

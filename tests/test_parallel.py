@@ -84,3 +84,47 @@ def test_batch_actually_sharded():
     assert not x.sharding.is_fully_replicated
     shard_shapes = {s.data.shape for s in x.addressable_shards}
     assert shard_shapes == {(2, 32, 1)}  # 16 / 8 devices
+
+
+def test_sharded_sampling_device_count_invariant():
+    """Data-parallel sampling (params replicated, seeds sharded) must give
+    bitwise-identical samples on a 1-device and an 8-device mesh — each
+    seed's trajectory comes from fold_in, independent of placement
+    (sample_ldm.make_ldm_sampler mesh=...)."""
+    from sleepgen.diffusion import NoiseSchedule
+    from sleepgen.sample.sample_ldm import make_ldm_sampler
+    from sleepgen.train.train_aekl import build_models
+    from sleepgen.train.train_ldm import build_unet
+
+    cfg = _tiny_cfg()
+    cfg.diffusion.num_inference_steps = 4
+    window, latent_len = 256, 64
+    cfg.unet.image_size = latent_len
+
+    ae, _ = build_models(cfg, jnp.float32)
+    unet = build_unet(cfg, 1, 1, jnp.float32)
+    sched = NoiseSchedule.create("scaled_linear_beta", 1000, 0.0015, 0.0205,
+                                 prediction_type="v_prediction")
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, window, 1))
+    ae_params = ae.init({"params": rng}, x, rng)["params"]
+    z0 = jnp.zeros((2, latent_len, 1))
+    unet_params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+    sf = jnp.float32(1.0)
+    seeds = jnp.arange(16)
+
+    outs = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(devices=jax.devices()[:n_dev])
+        sampler = make_ldm_sampler(unet, ae, sched, latent_len, 1,
+                                   num_inference_steps=4, border_pad=4,
+                                   mesh=mesh)
+        up = replicate(mesh, unet_params)
+        ap = replicate(mesh, ae_params)
+        out = sampler(up, ap, sf, rng, shard_batch(mesh, seeds))
+        if n_dev == 8:
+            assert not out.sharding.is_fully_replicated
+        outs[n_dev] = np.asarray(jax.device_get(out))
+
+    assert outs[1].shape == (16, window - 8, 1)
+    np.testing.assert_allclose(outs[1], outs[8], rtol=1e-6, atol=1e-6)
