@@ -111,6 +111,9 @@ class UNetConfig:
     use_scale_shift_norm: bool = False
     resblock_updown: bool = True
     norm_num_groups: int = 32
+    # >0: blockwise (online-softmax) attention when the attention length
+    # exceeds this — enables multi-minute windows (beyond-parity)
+    kv_block_size: int = 0
 
 
 @dataclass

@@ -216,6 +216,7 @@ class AttentionBlock1d(nn.Module):
     use_pallas_norm: bool = False
     quantized: bool = False
     fast_math: bool = False  # inference-only: bf16 GN compute + matmuls
+    kv_block_size: int = 0  # >0: blockwise attention for long windows
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -224,5 +225,6 @@ class AttentionBlock1d(nn.Module):
                         compute_dtype=gn_dtype)(x)
         h = SelfAttention1d(num_heads=self.num_heads, dtype=self.dtype,
                             quantized=self.quantized,
-                            mixed_precision=self.fast_math)(h)
+                            mixed_precision=self.fast_math,
+                            kv_block_size=self.kv_block_size)(h)
         return x + h

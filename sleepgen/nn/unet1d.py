@@ -138,6 +138,10 @@ class UNet1d(nn.Module):
     # fp32). Same param tree as the strict path; quality-gated by the FID
     # harness. Measured +~45% DDIM throughput on v5e (benches/ablate_unet.py).
     fast_math: bool = False
+    # >0: blockwise (flash-style, online-softmax) attention when the
+    # attention length exceeds this — makes window length a config beyond
+    # the reference's fixed 3072 (SURVEY.md §5 long-context)
+    kv_block_size: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
@@ -181,6 +185,7 @@ class UNet1d(nn.Module):
                                     use_pallas_norm=self.use_pallas_norm,
                                     quantized=self.quantized,
                                     fast_math=self.fast_math,
+                                    kv_block_size=self.kv_block_size,
                                     name=name)(h)
 
         h = _make_conv(self.quantized, mc, 3, self.dtype,

@@ -64,6 +64,7 @@ def build_unet(cfg: Config, in_channels: int, out_channels: int, dtype) -> UNet1
         dropout=u.dropout,
         dtype=dtype,
         use_pallas_norm=cfg.use_pallas_norm,
+        kv_block_size=u.kv_block_size,
     )
 
 

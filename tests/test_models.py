@@ -197,3 +197,25 @@ def test_unet1d_class_conditional():
     out1 = m.apply(params, x, t, jnp.array([1, 1]))
     assert out0.shape == (2, 64, 1)
     assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+
+def test_unet_kv_block_size_matches_full_attention():
+    """UNet1d with config-level blockwise attention == full attention
+    (long-window mode, config.unet.kv_block_size)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sleepgen.nn import UNet1d
+
+    kw = dict(in_channels=1, out_channels=1, model_channels=16,
+              channel_mult=(1, 2), attention_resolutions=(2,), num_groups=8)
+    full = UNet1d(**kw)
+    blk = UNet1d(**kw, kv_block_size=32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 256, 1))  # attention length 128 > 32
+    t = jnp.array([7, 501])
+    params = full.init(rng, x, t)["params"]
+    y_full = full.apply({"params": params}, x, t)
+    y_blk = blk.apply({"params": params}, x, t)
+    np.testing.assert_allclose(np.asarray(y_blk), np.asarray(y_full),
+                               rtol=2e-4, atol=2e-5)
