@@ -39,6 +39,9 @@ LATENT_CH = 1
 
 
 def main():
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = Config()
     cfg.aekl.num_channels = [32, 32, 64]
     cfg.aekl.latent_channels = LATENT_CH
@@ -82,5 +85,41 @@ def main():
     }))
 
 
+def _supervised():
+    """Run main() in a child process with timeout+retry.
+
+    The device relay occasionally wedges a fresh client forever at its
+    first request (see scripts/run_with_tpu_retry.sh); a retry in a new
+    process succeeds. The bench is the round's headline metric, so it
+    protects itself: up to 3 attempts, each with a generous budget for
+    the cold 200-step-scan compile."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SLEEPGEN_BENCH_CHILD="1")
+    for attempt in range(3):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=900)
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt + 1} timed out; retrying",
+                  file=sys.stderr, flush=True)
+            continue
+        for line in proc.stdout.splitlines():
+            if '"metric"' in line:
+                print(line)
+                return
+        print(f"bench attempt {attempt + 1} rc={proc.returncode}: "
+              f"{proc.stderr.strip()[-500:]}", file=sys.stderr, flush=True)
+    raise SystemExit("bench failed after 3 attempts")
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("SLEEPGEN_BENCH_CHILD"):
+        main()
+    else:
+        _supervised()
