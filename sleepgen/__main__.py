@@ -18,6 +18,7 @@ COMMANDS = {
     "convert-shhs": "sleepgen.cli.convert_shhs",
     "split-ids": "sleepgen.cli.split_ids",
     "serve": "sleepgen.cli.serve",
+    "warm-cache": "sleepgen.cli.warm_cache",
 }
 
 

@@ -1,0 +1,121 @@
+"""Precompile the standard sleepgen graphs into the persistent XLA cache.
+
+Device-backend compiles can be minutes-long for cold graphs (the 200-step
+DDIM scan, decode train steps); serving and cluster jobs should not pay
+that at first request. This CLI AOT-compiles the train steps and samplers
+for a config (no training, no data) so every later process — serve, the
+sampling CLIs, bench — hits the cache.
+
+No reference equivalent (the reference pays eager-mode dispatch every
+call); this is the TPU-native cold-start story.
+
+Usage:
+  python -m sleepgen warm-cache --config_file config.yaml \
+      [--targets aekl,ldm,sampler,dpm] [--batch_sizes 64,256]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config_file", type=str, default=None,
+                   help="run/train config YAML (defaults to the flagship config)")
+    p.add_argument("--targets", type=str, default="aekl,ldm,sampler",
+                   help="comma list: aekl,ldm,sampler,dpm")
+    p.add_argument("--batch_sizes", type=str, default="64",
+                   help="sampler seed-batch sizes to precompile")
+    p.add_argument("--train_batch", type=int, default=None,
+                   help="train-step batch (default: config batch size)")
+    return p
+
+
+def main(argv=None) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from sleepgen.config import Config
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    args = build_parser().parse_args(argv)
+    enable_compilation_cache()
+    jax.jit(lambda: jnp.zeros(()))().block_until_ready()
+    print("TPU_CONTACT_OK", flush=True)
+
+    cfg = Config.from_yaml(args.config_file) if args.config_file else Config()
+    targets = set(args.targets.split(","))
+    batches = [int(b) for b in args.batch_sizes.split(",")]
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    rng = jax.random.PRNGKey(0)
+    window = 3072
+    lc = cfg.aekl.latent_channels
+
+    def clock(label, fn):
+        t0 = time.perf_counter()
+        fn()
+        print(f"warmed {label}: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    if "aekl" in targets:
+        from sleepgen.train.train_aekl import init_state, make_train_step
+
+        state, ae, disc, opt_g, opt_d = init_state(cfg, rng, window=window)
+        step = make_train_step(ae, disc, opt_g, opt_d, cfg)
+        b = args.train_batch or cfg.train.batch_size
+        batch = jnp.zeros((b, window, 1), jnp.float32)
+        clock("aekl train step",
+              lambda: step.lower(state, batch, rng).compile())
+
+    if "ldm" in targets or "sampler" in targets or "dpm" in targets:
+        from sleepgen.train.train_aekl import build_models
+        from sleepgen.train.train_ldm import build_unet
+
+        ae, _ = build_models(cfg, dtype)
+        unet = build_unet(cfg, lc, lc, dtype)
+        x = jnp.zeros((2, window, 1), dtype)
+        ae_params = ae.init({"params": rng}, x, rng)["params"]
+        z0 = jnp.zeros((2, cfg.unet.image_size, lc), dtype)
+        unet_params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+
+    if "ldm" in targets:
+        import optax
+
+        from sleepgen.train.train_ldm import (DiffusionState,
+                                              make_ldm_train_step,
+                                              make_schedule)
+
+        opt = optax.adam(cfg.train.base_lr)
+        st = DiffusionState(
+            step=jnp.zeros((), jnp.int32), params=unet_params,
+            opt=opt.init(unet_params),
+            best_loss=jnp.asarray(jnp.inf, jnp.float32),
+            scale_factor=jnp.float32(1.0))
+        tstep = make_ldm_train_step(unet, ae, ae_params, make_schedule(cfg), opt)
+        b = args.train_batch or cfg.train.batch_size
+        batch = jnp.zeros((b, window, 1), jnp.float32)
+        clock("ldm train step",
+              lambda: tstep.lower(st, batch, rng).compile())
+
+    for name, sampler_kind, steps in [
+        ("sampler", "ddim", cfg.diffusion.num_inference_steps),
+        ("dpm", "dpm++2m", 20),
+    ]:
+        if name not in targets:
+            continue
+        from sleepgen.sample.sample_ldm import make_ldm_sampler, sampling_schedule
+
+        u = unet.clone(fast_math=True) if (
+            cfg.fast_sampling_math and dtype == jnp.bfloat16) else unet
+        s = make_ldm_sampler(u, ae, sampling_schedule(cfg),
+                             cfg.unet.image_size, lc, steps,
+                             sampler=sampler_kind)
+        for b in batches:
+            seeds = jnp.arange(b)
+            clock(f"{sampler_kind}-{steps} sampler batch {b}",
+                  lambda: s.lower(unet_params, ae_params, jnp.float32(1.0),
+                                  rng, seeds).compile())
+
+
+if __name__ == "__main__":
+    main()
