@@ -48,7 +48,8 @@ class GNIdentity(layers.GroupNorm32):
 
 
 class AttnIdentity(layers.AttentionBlock1d):
-    """Attention block replaced by a passthrough (keeps GN+proj params)."""
+    """Attention block replaced by a parameterless passthrough — params are
+    re-initialized per variant in measure(), so the tree need not match."""
 
     @nn.compact
     def __call__(self, x):

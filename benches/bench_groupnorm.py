@@ -25,8 +25,9 @@ def timeit(fn, *args, n=50):
 
 
 def main():
-    jax.jit(lambda: jnp.zeros(()))().block_until_ready()
-    print("TPU_CONTACT_OK", flush=True)
+    from sleepgen.utils.profiling import tpu_contact
+
+    tpu_contact(enable_cache=False)  # measuring runtimes, keep compiles honest
     results = {}
     for (b, l, c, g) in [(256, 3072, 32, 1), (256, 768, 128, 32),
                          (16, 49152, 32, 1)]:

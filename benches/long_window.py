@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from sleepgen.config import Config
 from sleepgen.sample.samplers import ddim_sample_loop, seed_noise
 from sleepgen.train.train_ldm import build_unet
-from sleepgen.utils.profiling import enable_compilation_cache
+from sleepgen.utils.profiling import tpu_contact
 
 WINDOW = 12288
 STEPS = 50
@@ -27,9 +27,7 @@ B = 16
 
 
 def main():
-    enable_compilation_cache()
-    jax.jit(lambda: jnp.zeros(()))().block_until_ready()
-    print("TPU_CONTACT_OK", flush=True)
+    tpu_contact()
 
     cfg = Config()
     cfg.unet.image_size = WINDOW

@@ -120,17 +120,11 @@ def main():
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
-    # Persistent XLA cache: decode train-step compiles through the relay are
-    # minutes-long (measured 382 s for the plain-Chambon step); caching makes
-    # supervisor retries and reruns cheap.
-    from sleepgen.utils.profiling import enable_compilation_cache
+    # cache + first-contact marker for the retry supervisor (decode
+    # train-step compiles through the relay are minutes-long)
+    from sleepgen.utils.profiling import tpu_contact
 
-    enable_compilation_cache()
-    # First device contact, done eagerly: the axon relay occasionally wedges
-    # a fresh client at its first request (blocked recv, no progress). The
-    # marker line lets scripts/run_with_tpu_retry.sh detect and restart.
-    jax.jit(lambda: jnp.zeros(()))().block_until_ready()
-    print("TPU_CONTACT_OK", flush=True)
+    tpu_contact()
     report: dict = {"device": str(jax.devices()[0])}
 
     # Resumability for the retry supervisor: completed sections are persisted

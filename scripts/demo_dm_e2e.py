@@ -39,11 +39,9 @@ def main():
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    from sleepgen.utils.profiling import enable_compilation_cache
+    from sleepgen.utils.profiling import tpu_contact
 
-    enable_compilation_cache()
-    jax.jit(lambda: jnp.zeros(()))().block_until_ready()
-    print("TPU_CONTACT_OK", flush=True)
+    tpu_contact()
 
     cfg = Config()
     cfg.train.output_dir = str(out)

@@ -56,13 +56,10 @@ def main():
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    # relay resilience: persistent compile cache + first-contact marker for
-    # scripts/run_with_tpu_retry.sh (see that script's header)
-    from sleepgen.utils.profiling import enable_compilation_cache
+    # relay resilience: cache + first-contact marker for the supervisor
+    from sleepgen.utils.profiling import tpu_contact
 
-    enable_compilation_cache()
-    jax.jit(lambda: jnp.zeros(()))().block_until_ready()
-    print("TPU_CONTACT_OK", flush=True)
+    tpu_contact()
 
     cfg = Config()
     cfg.train.output_dir = str(out)

@@ -23,13 +23,42 @@ CONTACT_DEADLINE=${CONTACT_DEADLINE:-240}
 STALL_SECS=${STALL_SECS:-2700}
 MAX_ATTEMPTS=${MAX_ATTEMPTS:-8}
 
-cpu_ticks() {  # utime+stime of pid $1, in clock ticks; empty if gone
-  awk '{print $14 + $15}' "/proc/$1/stat" 2>/dev/null
+cpu_ticks() {
+  # cumulative utime+stime (clock ticks) of pid $1 plus ALL live
+  # descendants — jobs that fork workers (e.g. bench.py's supervised
+  # child) idle in wait() themselves, so the direct child's CPU alone
+  # would look like a stall. comm in /proc/*/stat may contain spaces, so
+  # strip through the closing paren before splitting fields.
+  local root=$1 total=0 f stat rest pid ppid
+  declare -A parent ticks
+  for f in /proc/[0-9]*/stat; do
+    stat=$(<"$f") || continue
+    pid=${stat%% *}
+    rest=${stat##*) }
+    set -- $rest  # state ppid pgrp ... utime=$12 stime=$13
+    ppid=$2
+    parent[$pid]=$ppid
+    ticks[$pid]=$(( ${12} + ${13} ))
+  done 2>/dev/null
+  for pid in "${!ticks[@]}"; do
+    local q=$pid
+    while [ -n "$q" ] && [ "$q" != "$root" ] && [ "$q" -gt 1 ] 2>/dev/null; do
+      q=${parent[$q]:-0}
+    done
+    [ "$q" = "$root" ] && total=$((total + ticks[$pid]))
+  done
+  echo "$total"
+}
+
+kill_tree() {  # job runs as a session leader (setsid): pgid == pid
+  kill -- "-$1" 2>/dev/null || kill "$1" 2>/dev/null
+  sleep 2
+  kill -9 -- "-$1" 2>/dev/null || kill -9 "$1" 2>/dev/null
 }
 
 for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   : > "$LOG"
-  "$@" >> "$LOG" 2>&1 &
+  setsid "$@" >> "$LOG" 2>&1 &
   pid=$!
   echo "[retry-supervisor] attempt $attempt pid $pid" >&2
 
@@ -54,7 +83,7 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
         frozen=$((frozen + 30))
         if [ "$frozen" -ge "$STALL_SECS" ]; then
           echo "[retry-supervisor] CPU frozen ${frozen}s mid-run; restarting" >&2
-          kill "$pid" 2>/dev/null; sleep 2; kill -9 "$pid" 2>/dev/null
+          kill_tree "$pid"
           frozen=-1  # marker: stalled
           break
         fi
@@ -78,9 +107,7 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
     continue
   fi
   echo "[retry-supervisor] no TPU contact in ${CONTACT_DEADLINE}s; killing $pid" >&2
-  kill "$pid" 2>/dev/null
-  sleep 2
-  kill -9 "$pid" 2>/dev/null
+  kill_tree "$pid"
 done
 echo "[retry-supervisor] giving up after $MAX_ATTEMPTS attempts" >&2
 exit 1

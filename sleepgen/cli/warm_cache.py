@@ -25,8 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run/train config YAML (defaults to the flagship config)")
     p.add_argument("--targets", type=str, default="aekl,ldm,sampler",
                    help="comma list: aekl,ldm,sampler,dpm")
-    p.add_argument("--batch_sizes", type=str, default="64",
-                   help="sampler seed-batch sizes to precompile")
+    p.add_argument("--batch_sizes", type=str, default="64,128",
+                   help="sampler seed-batch sizes to precompile (default "
+                        "covers bench.py's 64 and SamplerService's 128)")
     p.add_argument("--train_batch", type=int, default=None,
                    help="train-step batch (default: config batch size)")
     return p
@@ -37,12 +38,10 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     from sleepgen.config import Config
-    from sleepgen.utils.profiling import enable_compilation_cache
+    from sleepgen.utils.profiling import tpu_contact
 
     args = build_parser().parse_args(argv)
-    enable_compilation_cache()
-    jax.jit(lambda: jnp.zeros(()))().block_until_ready()
-    print("TPU_CONTACT_OK", flush=True)
+    tpu_contact()
 
     cfg = Config.from_yaml(args.config_file) if args.config_file else Config()
     targets = set(args.targets.split(","))
@@ -60,10 +59,14 @@ def main(argv=None) -> None:
     if "aekl" in targets:
         from sleepgen.train.train_aekl import init_state, make_train_step
 
-        state, ae, disc, opt_g, opt_d = init_state(cfg, rng, window=window)
+        # mirror the real training graph exactly (dtype included) or the
+        # warmed entry never matches: train_aekl passes the compute dtype
+        # to init_state and prefetches batches cast to it
+        state, ae, disc, opt_g, opt_d = init_state(cfg, rng, window=window,
+                                                   dtype=dtype)
         step = make_train_step(ae, disc, opt_g, opt_d, cfg)
         b = args.train_batch or cfg.train.batch_size
-        batch = jnp.zeros((b, window, 1), jnp.float32)
+        batch = jnp.zeros((b, window, 1), dtype)
         clock("aekl train step",
               lambda: step.lower(state, batch, rng).compile())
 
@@ -86,14 +89,20 @@ def main(argv=None) -> None:
                                               make_schedule)
 
         opt = optax.adam(cfg.train.base_lr)
+        ema_decay = cfg.diffusion.ema_decay
         st = DiffusionState(
             step=jnp.zeros((), jnp.int32), params=unet_params,
             opt=opt.init(unet_params),
             best_loss=jnp.asarray(jnp.inf, jnp.float32),
-            scale_factor=jnp.float32(1.0))
-        tstep = make_ldm_train_step(unet, ae, ae_params, make_schedule(cfg), opt)
+            scale_factor=jnp.float32(1.0),
+            # EMA-enabled configs carry ema_params in the donated state
+            # pytree (train_ldm.py) — warm the same arg structure
+            ema_params=(jax.tree_util.tree_map(jnp.copy, unet_params)
+                        if ema_decay > 0.0 else None))
+        tstep = make_ldm_train_step(unet, ae, ae_params, make_schedule(cfg),
+                                    opt, ema_decay=ema_decay)
         b = args.train_batch or cfg.train.batch_size
-        batch = jnp.zeros((b, window, 1), jnp.float32)
+        batch = jnp.zeros((b, window, 1), dtype)
         clock("ldm train step",
               lambda: tstep.lower(st, batch, rng).compile())
 

@@ -23,9 +23,13 @@ def blockwise_attention(
 ) -> jnp.ndarray:
     """q, k, v: (B, L, H, D), pre-scaled like the reference's
     QKVAttentionLegacy (both q and k carry 1/sqrt(sqrt(D))).
-    Returns (B, L, H, D). L must divide block_size."""
+    Returns (B, L, H, D). block_size must divide L."""
     b, l, h, d = q.shape
-    assert l % block_size == 0, f"L={l} must divide block {block_size}"
+    assert l % block_size == 0, (
+        f"kv_block_size={block_size} must divide the attention length "
+        f"L={l}. The UNet attends at image_size/ds for each ds in "
+        f"attention_resolutions — pick a block size dividing all of them "
+        f"(powers of two are always safe for power-of-two windows).")
     n_blocks = l // block_size
 
     q32 = q.astype(jnp.float32)

@@ -90,7 +90,12 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig = x.dtype
-        if self.use_pallas:
+        # sampling fast-math wins over the (fp32-only, off-by-default)
+        # Pallas kernel — otherwise use_pallas_norm would silently disable
+        # the +21% fast-math path
+        if (self.use_pallas
+                and (self.compute_dtype is None
+                     or self.compute_dtype == jnp.float32)):
             from sleepgen.pallas_kernels import fused_group_norm_silu
 
             scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()

@@ -155,13 +155,16 @@ def sample_ldm_trials(
     lc = aekl_cfg.aekl.latent_channels
     ae, _ = build_models(aekl_cfg, dtype)
     unet = build_unet(cfg, lc, lc, dtype)
-    if cfg.fast_sampling_math and dtype == jnp.bfloat16:
-        unet = unet.clone(fast_math=True)
     if quantized:
+        # int8 path stays on the strict fp32-norm numerics it was gated
+        # and perf-measured with (BASELINE.md "Int8 quantized sampling") —
+        # composing fast_math here would confound that comparison
         from sleepgen.nn.quant import quantize_unet_params
 
         unet = unet.clone(quantized=True)
         unet_params = quantize_unet_params(unet_params)
+    elif cfg.fast_sampling_math and dtype == jnp.bfloat16:
+        unet = unet.clone(fast_math=True)
     sched = sampling_schedule(cfg)
     if mesh is not None:
         n_data = mesh.shape["data"]

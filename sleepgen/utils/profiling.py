@@ -84,6 +84,20 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def tpu_contact(enable_cache: bool = True) -> None:
+    """Standard preamble for long device jobs: persistent compile cache,
+    one eager trivial jit as the first device contact, and the
+    ``TPU_CONTACT_OK`` marker line that scripts/run_with_tpu_retry.sh
+    watches for (the exact string is load-bearing — keep every entry
+    point on this helper instead of inlining it)."""
+    import jax.numpy as jnp
+
+    if enable_cache:
+        enable_compilation_cache()
+    jax.jit(lambda: jnp.zeros(()))().block_until_ready()
+    print("TPU_CONTACT_OK", flush=True)
+
+
 def maybe_initialize_multihost() -> None:
     """jax.distributed.initialize when SLEEPGEN_MULTIHOST=1 — the multi-host
     entry used by scripts/launch_multihost.sh (TPU pods auto-discover the

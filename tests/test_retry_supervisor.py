@@ -95,3 +95,24 @@ exit 0
     assert proc.returncode == 0
     assert "finished" in log.read_text()
     assert "CPU frozen" in proc.stderr
+
+
+@pytest.mark.slow
+def test_busy_grandchild_prevents_false_stall(tmp_path):
+    # a job whose direct child idles in wait() while a forked worker does
+    # the compute (bench.py's supervised mode) must NOT be stall-killed:
+    # CPU accounting covers the whole process tree
+    body = """
+echo TPU_CONTACT_OK
+( end=$((SECONDS + 45)); while [ $SECONDS -lt $end ]; do :; done ) &
+worker=$!
+wait $worker
+echo finished
+exit 0
+"""
+    proc, log = run_supervisor(tmp_path, body,
+                               env={"CONTACT_DEADLINE": "30",
+                                    "STALL_SECS": "30"}, timeout=240)
+    assert proc.returncode == 0
+    assert "finished" in log.read_text()
+    assert "CPU frozen" not in proc.stderr
