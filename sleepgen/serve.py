@@ -41,6 +41,10 @@ class SamplerService:
     batch_size: int = 128
     base_seed: int = 0
     border_pad: int = 36
+    # optional jax.sharding.Mesh: seeds shard over the data axis, params
+    # replicate — multi-chip serving with per-seed-deterministic output
+    # (batch_size must divide the data-axis size)
+    mesh: object = None
     _samplers: Dict[int, object] = field(default_factory=dict, repr=False)
     stats: Dict[str, float] = field(default_factory=dict, repr=False)
 
@@ -83,11 +87,14 @@ class SamplerService:
             if self.cfg.fast_sampling_math and dtype == jnp.bfloat16:
                 unet = unet.clone(fast_math=True)
             sched = sampling_schedule(self.cfg)
+            if self.mesh is not None:
+                n_data = self.mesh.shape["data"]
+                assert batch % n_data == 0, (batch, n_data)
             self._samplers[batch] = make_ldm_sampler(
                 unet, ae, sched, self.cfg.unet.image_size, lc,
                 self.cfg.diffusion.num_inference_steps,
                 border_pad=self.border_pad,
-                sampler=self.cfg.diffusion.sampler)
+                sampler=self.cfg.diffusion.sampler, mesh=self.mesh)
         return self._samplers[batch]
 
     def warmup(self) -> float:

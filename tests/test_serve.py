@@ -60,3 +60,21 @@ def test_sampler_service(trained_dirs):
 
     sigs, psds, freqs = svc.sample_with_psd(range(2))
     assert psds.shape[0] == 2 and freqs.max() <= 18.0
+
+
+@pytest.mark.slow
+def test_sampler_service_mesh(trained_dirs):
+    """Mesh-sharded serving returns the same per-seed windows as the
+    single-device service (data-parallel serving contract)."""
+    from sleepgen.parallel import make_mesh
+    from sleepgen.serve import SamplerService
+
+    aekl_dir, ldm_dir = trained_dirs
+    svc = SamplerService.from_run_dirs(aekl_dir, ldm_dir, batch_size=8,
+                                       border_pad=4)
+    svc_mesh = SamplerService.from_run_dirs(
+        aekl_dir, ldm_dir, batch_size=8, border_pad=4,
+        mesh=make_mesh(devices=jax.devices()[:8]))
+    a = svc.sample(range(8))
+    b = svc_mesh.sample(range(8))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
