@@ -34,6 +34,8 @@ def main():
     p.add_argument("--n_samples", type=int, default=128)
     p.add_argument("--small", action="store_true",
                    help="tiny widths for a quick smoke run")
+    p.add_argument("--latent_channels", type=int, default=1,
+                   help="stage-1 latent channels (reference sweeps 1 and 3)")
     p.add_argument("--quant", action="store_true",
                    help="also sample with the int8 UNet and report its "
                         "quality metrics next to bf16 (the FID quality gate)")
@@ -67,7 +69,7 @@ def main():
     cfg.train.n_epochs = args.aekl_epochs
     cfg.train.val_interval = max(args.aekl_epochs // 4, 1)
     cfg.aekl.num_channels = [2, 2, 4] if args.small else [32, 32, 64]
-    cfg.aekl.latent_channels = 1
+    cfg.aekl.latent_channels = args.latent_channels
     if args.small:
         cfg.unet.model_channels = 32
     cfg.losses.kl_weight = 1e-9

@@ -93,3 +93,26 @@ def test_split_matches_published_reference_splits():
         want = pd.read_csv(f"{base}_{name}.csv")
         assert set(got["subject"]) == set(want["subject"]), name
         assert len(got) == len(want), name
+
+
+def test_from_csv_shhs_layout(tmp_path):
+    """SHHS CSV contract: FILE_NAME_EEG already carries .npy (no suffix
+    appended, reference dataset.py:33-59) and recordings are 1-D (T,)
+    per-channel arrays from convert_shhs; edfx ships (1, T). Both load to
+    the same normalized (T,) recordings."""
+    import pandas as pd
+
+    rec = np.random.default_rng(0).standard_normal(4000)
+    np.save(tmp_path / "shhs1-200001-C4A1.npy", rec)           # (T,)
+    np.save(tmp_path / "SC4001E0-Fpz-Cz.npy", rec[None, :])    # (1, T)
+    pd.DataFrame([{"FILE_NAME_EEG": "shhs1-200001-C4A1.npy"}]).to_csv(
+        tmp_path / "shhs.csv", index=False)
+    pd.DataFrame([{"FILE_NAME_EEG": "SC4001E0-Fpz-Cz"}]).to_csv(
+        tmp_path / "edfx.csv", index=False)
+
+    ds_shhs = WindowDataset.from_csv(tmp_path / "shhs.csv", tmp_path,
+                                     dataset="shhs")
+    ds_edfx = WindowDataset.from_csv(tmp_path / "edfx.csv", tmp_path,
+                                     dataset="edfx")
+    assert len(ds_shhs) == len(ds_edfx) == 1
+    np.testing.assert_allclose(ds_shhs.recordings[0], ds_edfx.recordings[0])
