@@ -14,7 +14,9 @@
 #    longer); default 2700 s.
 #
 # Restarted jobs must be resumable (demo scripts persist per-section
-# results and skip completed sections on rerun).
+# results and skip completed sections on rerun). Do NOT feed the job via
+# stdin (heredoc to `python -`): the first attempt drains it and a retry
+# would run an empty program that exits 0 — pass a script file instead.
 #
 # Usage: run_with_tpu_retry.sh LOGFILE CMD [ARGS...]
 set -u
