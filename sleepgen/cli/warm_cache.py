@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "covers bench.py's 64 and SamplerService's 128)")
     p.add_argument("--train_batch", type=int, default=None,
                    help="train-step batch (default: config batch size)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu) — env vars can be "
+                        "overridden by this image's sitecustomize; the "
+                        "in-process config update always works")
     return p
 
 
@@ -41,6 +45,8 @@ def main(argv=None) -> None:
     from sleepgen.utils.profiling import tpu_contact
 
     args = build_parser().parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     tpu_contact()
 
     cfg = Config.from_yaml(args.config_file) if args.config_file else Config()

@@ -28,7 +28,10 @@ def test_warm_cache_cli_smoke(tmp_path):
         [sys.executable, "-m", "sleepgen", "warm-cache",
          "--config_file", str(cfg_path),
          "--targets", "aekl,ldm,sampler,dpm",
-         "--batch_sizes", "4", "--train_batch", "4"],
+         "--batch_sizes", "4", "--train_batch", "4",
+         # env pinning alone is not reliably honored by this image's
+         # sitecustomize; the CLI flag uses the in-process config update
+         "--platform", "cpu"],
         capture_output=True, text=True, timeout=600,
         # pin the subprocess to the virtual-CPU backend — conftest's CPU
         # forcing is in-process only and would not be inherited
