@@ -82,6 +82,10 @@ def main():
         "value": round(windows_per_sec, 2),
         "unit": "windows/s",
         "vs_baseline": round(windows_per_sec / REFERENCE_WINDOWS_PER_SEC, 2),
+        "baseline_note": "vs_baseline divides by 2.0 w/s — an ANALYTIC "
+                         "estimate of the reference's batch-1 A100 DDIM-200 "
+                         "loop (it publishes no wall-clock numbers); "
+                         "derivation in BASELINE.md 'Measured baseline'",
     }))
 
 
@@ -100,9 +104,13 @@ def _supervised():
     env = dict(os.environ, SLEEPGEN_BENCH_CHILD="1")
     for attempt in range(3):
         try:
+            # budget: measured worst cases are ~5 min for the cold 200-step
+            # scan compile PLUS ~885 s of early-session dispatch latency on
+            # a fresh backend (NOTES_NEXT_ROUND.md) — 900 s left only ~15 s
+            # of margin, so a legitimately slow cold attempt got killed
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=900)
+                capture_output=True, text=True, timeout=2400)
         except subprocess.TimeoutExpired:
             print(f"bench attempt {attempt + 1} timed out; retrying",
                   file=sys.stderr, flush=True)

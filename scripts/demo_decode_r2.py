@@ -131,15 +131,24 @@ def main():
     # to out/partial_report.json and skipped on rerun, so a mid-run relay
     # wedge costs at most one section.
     partial_path = out / "partial_report.json"
+    # tie resume state to the hyperparameters: a rerun with the same --out
+    # but different args must start fresh, not silently replay stale results
+    run_params = {k: v for k, v in sorted(vars(args).items()) if k != "skip"}
     if partial_path.exists():
         prior = json.loads(partial_path.read_text())
-        report.update(prior)
-        for sec, key in [("a", "variant_a"), ("b", "variant_b"),
-                         ("c", "variant_c"), ("ref", "reference_ckpt_a"),
-                         ("usleep", "usleep")]:
-            if key in prior:
-                skip.add(sec)
-        print(f"resuming; done sections: {sorted(prior)}", flush=True)
+        if prior.get("_run_params") != run_params:
+            print("partial_report.json is from a different parameterization; "
+                  "discarding it", flush=True)
+            partial_path.unlink()
+        else:
+            report.update(prior)
+            for sec, key in [("a", "variant_a"), ("b", "variant_b"),
+                             ("c", "variant_c"), ("ref", "reference_ckpt_a"),
+                             ("usleep", "usleep")]:
+                if key in prior:
+                    skip.add(sec)
+            print(f"resuming; done sections: {sorted(prior)}", flush=True)
+    report["_run_params"] = run_params
 
     def save_partial():
         partial_path.write_text(json.dumps(report, indent=1))
@@ -247,8 +256,12 @@ def main():
         save_partial()
 
     report["wall_clock_sec"] = round(time.time() - t0, 1)
+    report.pop("_run_params", None)
     Path("DEMO_DECODE_r2.json").write_text(json.dumps(report, indent=1))
     print(json.dumps(report, indent=1))
+    # a fully successful run leaves no resume state behind
+    if partial_path.exists():
+        partial_path.unlink()
 
 
 if __name__ == "__main__":

@@ -54,7 +54,11 @@ def main(argv=None) -> None:
     batches = [int(b) for b in args.batch_sizes.split(",")]
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     rng = jax.random.PRNGKey(0)
-    window = 3072
+    # derive the signal geometry from the config so non-flagship configs
+    # warm the graphs their real jobs will actually hit: window = latent
+    # length x 2^(AEKL downsamples); defaults give 768 * 4 = 3072
+    window = cfg.unet.image_size * 2 ** (len(cfg.aekl.num_channels) - 1)
+    in_ch = cfg.aekl.in_channels
     lc = cfg.aekl.latent_channels
 
     def clock(label, fn):
@@ -72,7 +76,7 @@ def main(argv=None) -> None:
                                                    dtype=dtype)
         step = make_train_step(ae, disc, opt_g, opt_d, cfg)
         b = args.train_batch or cfg.train.batch_size
-        batch = jnp.zeros((b, window, 1), dtype)
+        batch = jnp.zeros((b, window, in_ch), dtype)
         clock("aekl train step",
               lambda: step.lower(state, batch, rng).compile())
 
@@ -82,7 +86,7 @@ def main(argv=None) -> None:
 
         ae, _ = build_models(cfg, dtype)
         unet = build_unet(cfg, lc, lc, dtype)
-        x = jnp.zeros((2, window, 1), dtype)
+        x = jnp.zeros((2, window, in_ch), dtype)
         ae_params = ae.init({"params": rng}, x, rng)["params"]
         z0 = jnp.zeros((2, cfg.unet.image_size, lc), dtype)
         unet_params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
@@ -108,13 +112,18 @@ def main(argv=None) -> None:
         tstep = make_ldm_train_step(unet, ae, ae_params, make_schedule(cfg),
                                     opt, ema_decay=ema_decay)
         b = args.train_batch or cfg.train.batch_size
-        batch = jnp.zeros((b, window, 1), dtype)
+        batch = jnp.zeros((b, window, in_ch), dtype)
         clock("ldm train step",
               lambda: tstep.lower(st, batch, rng).compile())
 
+    # a config whose sampler IS dpm++2m runs num_inference_steps steps
+    # through that solver, so warm that count; the separate "dpm" target
+    # for a ddim config warms the conventional 20-step operating point
+    dpm_steps = (cfg.diffusion.num_inference_steps
+                 if cfg.diffusion.sampler == "dpm++2m" else 20)
     for name, sampler_kind, steps in [
         ("sampler", "ddim", cfg.diffusion.num_inference_steps),
-        ("dpm", "dpm++2m", 20),
+        ("dpm", "dpm++2m", dpm_steps),
     ]:
         if name not in targets:
             continue

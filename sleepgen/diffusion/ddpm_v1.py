@@ -63,12 +63,16 @@ class DDPMTables:
         acp_prev = np.append(1.0, acp[:-1])
         post_var = (1 - v_posterior) * betas * (1.0 - acp_prev) / (1.0 - acp) \
             + v_posterior * betas
-        if parameterization == "eps":
-            lvlb = betas**2 / (2 * post_var * alphas * (1 - acp))
-        elif parameterization == "x0":
-            lvlb = 0.5 * np.sqrt(acp) / (2.0 * 1 - acp)
-        else:
-            raise NotImplementedError(parameterization)
+        # post_var[0] == 0 makes lvlb[0] a deliberate inf/0-div that the
+        # next line overwrites (reference ldm.py:219-224 quirk) — silence
+        # the expected RuntimeWarning so real ones stay visible
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if parameterization == "eps":
+                lvlb = betas**2 / (2 * post_var * alphas * (1 - acp))
+            elif parameterization == "x0":
+                lvlb = 0.5 * np.sqrt(acp) / (2.0 * 1 - acp)
+            else:
+                raise NotImplementedError(parameterization)
         lvlb[0] = lvlb[1]
         f32 = lambda a: jnp.asarray(a, jnp.float32)
         return cls(

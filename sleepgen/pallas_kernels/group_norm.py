@@ -134,8 +134,10 @@ def fused_group_norm_silu(x, scale, bias, num_groups: int, eps: float = 1e-6,
 def _stats_kernel(x_ref, o_ref):
     """Per-(batch, L-tile) partial channel sums.
 
-    Output block (1, 8, 2C) — row 0 = sum, row 1 = sumsq, rows 2-7 padding
-    to satisfy the mosaic sublane rule (second-to-last block dim % 8 == 0).
+    Output block (1, 8, 2C) — row 0 packs [sum | sumsq] along the channel
+    axis (first C lanes = sum, next C = sumsq); rows 1-7 are padding to
+    satisfy the mosaic sublane rule (second-to-last block dim % 8 == 0).
+    The consumer reads ``partial[:, 0, :]`` and splits at C.
     """
     x = x_ref[0].astype(jnp.float32)  # (TL, C)
     s = jnp.sum(x, axis=0, keepdims=True)

@@ -111,12 +111,16 @@ def write_sample_artifacts(
     output_dir.mkdir(parents=True, exist_ok=True)
     psd_list = []
     signals_ncl = to_bcl(signals_blc)  # (B, 1, 3000)
+    if compute_psd:
+        # one batched device call for the whole batch — the reference (and
+        # sleepgen <r3) paid one small device dispatch per seed
+        # (sample_trials.py:172-190: serial MNE PSD per sample)
+        psds_all, freqs = welch_psd_db(signals_ncl, fmax=18.0)  # (B, 1, F)
     for i, seed in enumerate(seeds):
         np.save(output_dir / f"sample_{seed}.npy", signals_ncl[i : i + 1])
         if compute_psd:
-            psds, freqs = welch_psd_db(signals_ncl[i], fmax=18.0)
-            psds_mean = psds.mean(axis=0)
-            save_info = [psds, freqs, psds_mean]
+            psds = psds_all[i]  # (1, F): per-channel rows, reference layout
+            save_info = [psds, freqs, psds.mean(axis=0)]
             np.save(output_dir / f"psd_list_{seed}.npy",
                     np.asarray(save_info, dtype=object), allow_pickle=True)
             psd_list.append(save_info)
@@ -144,8 +148,8 @@ def sample_ldm_trials(
     """Generate samples for seeds [start_seed, stop_seed) in device batches.
     Returns all cropped signals (N, 3000, 1). ``quantized=True`` runs the
     UNet convs int8 (sleepgen.nn.quant), converting the fp params.
-    ``mesh``: shard each seed batch over the mesh's data axis (batch_size
-    must divide by the data-axis size); samples are identical to the
+    ``mesh``: shard each seed batch over the mesh's data axis (the
+    data-axis size must divide batch_size); samples are identical to the
     single-device output."""
     from sleepgen.train.train_aekl import build_models
     from sleepgen.train.train_ldm import build_unet

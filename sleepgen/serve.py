@@ -43,7 +43,7 @@ class SamplerService:
     border_pad: int = 36
     # optional jax.sharding.Mesh: seeds shard over the data axis, params
     # replicate — multi-chip serving with per-seed-deterministic output
-    # (batch_size must divide the data-axis size)
+    # (the data-axis size must divide batch_size)
     mesh: object = None
     _samplers: Dict[int, object] = field(default_factory=dict, repr=False)
     stats: Dict[str, float] = field(default_factory=dict, repr=False)
