@@ -100,32 +100,123 @@ def balanced_class_weights(y: np.ndarray, n_classes: int = 5) -> np.ndarray:
     return w.astype(np.float32)
 
 
+# Markov stage-transition matrix (rows: W, N1, N2, N3, REM). Loosely the
+# empirical Sleep-EDFx hypnogram statistics: sleep is sticky, N1 is a hub,
+# direct W<->N3 jumps are rare. Gives decoders temporal context to exploit
+# (the 3-window sequence variant should beat the single-window one).
+_STAGE_TRANSITIONS = np.array([
+    # W     N1    N2    N3    REM
+    [0.75, 0.19, 0.03, 0.00, 0.03],   # W
+    [0.12, 0.45, 0.33, 0.02, 0.08],   # N1
+    [0.03, 0.07, 0.72, 0.12, 0.06],   # N2
+    [0.01, 0.02, 0.18, 0.77, 0.02],   # N3
+    [0.05, 0.10, 0.07, 0.00, 0.78],   # REM
+])
+# ambiguous-boundary pairs for label noise (where human scorers disagree)
+_CONFUSABLE = {0: [1], 1: [0, 4, 2], 2: [1, 3], 3: [2], 4: [1]}
+
+
+def _stage_epoch(rng: np.random.Generator, stage: int, t: np.ndarray,
+                 subj: Dict[str, float]) -> np.ndarray:
+    """One 30 s epoch of stage-conditioned synthetic EEG.
+
+    Classes share spectral bands on a common 1/f background so they
+    overlap realistically instead of being separable by a single tone:
+    W/N1 share alpha-theta, N1/REM are near-twins (theta), N2 differs
+    from N1 mainly by brief spindle/K-complex events, N3 by delta power.
+    """
+    from sleepgen.data.synthetic import pink_noise
+
+    n = len(t)
+
+    def tone(freq, amp, jitter=0.05):
+        f = freq * (1.0 + jitter * rng.normal())
+        return amp * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+
+    def burst(freq, amp, dur_s, center_s):
+        env = np.exp(-0.5 * ((t - center_s) / (dur_s / 2.0)) ** 2)
+        return amp * env * np.sin(2 * np.pi * freq * t + rng.uniform(0, 2 * np.pi))
+
+    x = 1.8 * pink_noise(rng, n)
+    if stage == 0:  # Wake: alpha bursts + faint EMG-like fast activity
+        for _ in range(rng.integers(1, 4)):
+            x += burst(subj["alpha"], rng.uniform(0.35, 0.7),
+                       rng.uniform(2.0, 6.0), rng.uniform(0, 30))
+        x += tone(22.0, 0.18, 0.2) + tone(30.0, 0.12, 0.2)
+        x += tone(subj["theta"], 0.2)  # drowsy-wake theta leak toward N1
+    elif stage == 1:  # N1: theta, residual alpha — REM's near-twin
+        x += tone(subj["theta"], 0.45) + tone(subj["alpha"], 0.2)
+        x += tone(0.4, 0.2, 0.3)  # slow rolling eye movements
+    elif stage == 2:  # N2: theta background + spindles + K-complexes
+        x += tone(subj["theta"], 0.4) + tone(subj["delta"], 0.3)
+        for _ in range(rng.integers(1, 3)):  # spindles: 0.5-1 s @ ~13 Hz
+            x += burst(subj["spindle"], rng.uniform(0.5, 0.9),
+                       rng.uniform(0.5, 1.0), rng.uniform(1, 29))
+        if rng.random() < 0.6:  # K-complex: one ~1 s biphasic wave
+            x += burst(1.2, rng.uniform(1.2, 2.0), 1.0, rng.uniform(2, 28))
+    elif stage == 3:  # N3: elevated delta (continuum with N2, not a wall)
+        x += tone(subj["delta"], 1.0) + tone(subj["delta"] * 1.9, 0.4)
+        x += tone(subj["theta"], 0.3)
+        if rng.random() < 0.3:  # residual spindles in light N3
+            x += burst(subj["spindle"], rng.uniform(0.3, 0.5),
+                       rng.uniform(0.4, 0.8), rng.uniform(1, 29))
+    else:  # REM: theta + sawtooth-ish bursts, no spindles
+        x += tone(subj["theta"] * 1.05, 0.5)
+        for _ in range(rng.integers(0, 3)):
+            x += burst(3.0, rng.uniform(0.2, 0.45),
+                       rng.uniform(1.0, 3.0), rng.uniform(0, 30))
+        x += tone(subj["alpha"], 0.08)
+    return subj["gain"] * x
+
+
 def make_synthetic_staged(
     n_recordings: int = 24,
     n_epochs_per_rec: int = 40,
     sfreq: int = 100,
     seed: int = 0,
+    label_noise: float = 0.08,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Hermetic staged-EEG fixture: stage k is a sine at (2+3k) Hz plus
-    noise, 30 s epochs. Returns (windows (N, 3000, 1) standard-scaled,
-    labels (N,), recording_ids (N,)) — the shape contract of
-    ``load_staged_dataset`` (cli/run_sleep_decode.py) without PhysioNet.
+    """Hermetic staged-EEG fixture with realistic class overlap.
+
+    Returns (windows (N, 3000, 1) standard-scaled, labels (N,),
+    recording_ids (N,)) — the shape contract of ``load_staged_dataset``
+    (cli/run_sleep_decode.py) without PhysioNet.
+
+    Unlike the round-2 fixture (one clean tone per stage, which every
+    decoder solved at balanced accuracy 1.0 and therefore pinned nothing),
+    stages here are overlapping mixtures on a shared 1/f background
+    (:func:`_stage_epoch`), each recording carries subject-specific gains
+    and peak frequencies, stage sequences follow a sticky Markov chain
+    (:data:`_STAGE_TRANSITIONS`), and ``label_noise`` of the labels are
+    flipped to a confusable neighbor stage — mimicking inter-scorer
+    disagreement. Decoders land strictly between chance (0.2) and 1.0,
+    like the ~0.7-0.8 of the reference's real task
+    (``src/testing/run_sleep_decode.py:174-245``).
     """
     rng = np.random.default_rng(seed)
     stages = ["Sleep stage W", "Sleep stage 1", "Sleep stage 2",
               "Sleep stage 3", "Sleep stage R"]
-    t = np.arange(30 * sfreq) / sfreq
+    t = np.arange(30 * sfreq, dtype=np.float64) / sfreq
     xs, ys, rids = [], [], []
     for rec in range(n_recordings):
+        subj = {
+            "gain": float(np.exp(0.3 * rng.normal())),
+            "alpha": float(rng.normal(10.0, 0.6)),
+            "theta": float(rng.normal(5.5, 0.5)),
+            "delta": float(rng.uniform(0.8, 1.6)),
+            "spindle": float(rng.normal(13.0, 0.7)),
+        }
         sig, anns = [], []
+        s = int(rng.integers(0, 5))
         for i in range(n_epochs_per_rec):
-            s = int(rng.integers(0, 5))
-            f = 2 + 3 * s
-            phase = rng.uniform(0, 2 * np.pi)
-            sig.append(np.sin(2 * np.pi * f * t + phase)
-                       + 0.3 * rng.normal(size=len(t)))
+            s = int(rng.choice(5, p=_STAGE_TRANSITIONS[s]))
+            sig.append(_stage_epoch(rng, s, t, subj))
             anns.append((i * 30.0, 30.0, stages[s]))
         x, y = windows_from_annotations(np.concatenate(sig), sfreq, anns)
+        flip = rng.random(len(y)) < label_noise
+        y = y.copy()
+        for j in np.flatnonzero(flip):
+            y[j] = rng.choice(_CONFUSABLE[int(y[j])])
         xs.append(standard_scale_windows(x))
         ys.append(y)
         rids.append(np.full(len(y), rec))

@@ -2,7 +2,11 @@
 
 Artifacts (parity with ``src/sample_trials.py:166-197``):
   * ``sample_{i}.npy``   — (1, 1, 3000) cropped signal, reference layout
-  * ``psd_list_{i}.npy`` — [psds, freqs, psds_mean] Welch PSD (fmax 18)
+  * ``psd_list_{i}.npy`` — [psds, freqs, psds_mean] DPSS-multitaper PSD
+    (fmax 18) — the method MNE's ``EpochsArray.compute_psd`` actually
+    runs for Epochs (``method='auto'`` -> multitaper), so these numbers
+    are comparable to reference-produced artifacts; pass
+    ``psd_method="welch"`` for the Welch spectra instead
   * ``psd_list.npy``     — stacked per-seed PSD summaries
 
 Throughput design: seeds are processed in device-sized batches; each batch
@@ -103,10 +107,15 @@ def write_sample_artifacts(
     seeds: Sequence[int],
     signals_blc: np.ndarray,
     compute_psd: bool = True,
+    psd_method: str = "multitaper",
 ) -> None:
-    """Write per-seed npy artifacts in the reference layout."""
-    from sleepgen.eval.psd import welch_psd_db
+    """Write per-seed npy artifacts in the reference layout.
 
+    ``psd_method="multitaper"`` (default) reproduces the reference's MNE
+    Epochs PSD method; ``"welch"`` writes the Welch spectra instead."""
+    from sleepgen.eval.psd import multitaper_psd_db, welch_psd_db
+
+    psd_db = {"multitaper": multitaper_psd_db, "welch": welch_psd_db}[psd_method]
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     psd_list = []
@@ -115,7 +124,7 @@ def write_sample_artifacts(
         # one batched device call for the whole batch — the reference (and
         # sleepgen <r3) paid one small device dispatch per seed
         # (sample_trials.py:172-190: serial MNE PSD per sample)
-        psds_all, freqs = welch_psd_db(signals_ncl, fmax=18.0)  # (B, 1, F)
+        psds_all, freqs = psd_db(signals_ncl, fmax=18.0)  # (B, 1, F)
     for i, seed in enumerate(seeds):
         np.save(output_dir / f"sample_{seed}.npy", signals_ncl[i : i + 1])
         if compute_psd:

@@ -133,9 +133,10 @@ class SamplerService:
         return out
 
     def sample_with_psd(self, seeds: Sequence[int]):
-        """(signals, psds_db, freqs) — the full sample_trials artifact set."""
-        from sleepgen.eval.psd import welch_psd_db
+        """(signals, psds_db, freqs) — the full sample_trials artifact set
+        (DPSS multitaper, the method behind MNE's Epochs ``compute_psd``)."""
+        from sleepgen.eval.psd import multitaper_psd_db
 
         sigs = self.sample(seeds)
-        psds, freqs = welch_psd_db(sigs[..., 0], fmax=18.0)
+        psds, freqs = multitaper_psd_db(sigs[..., 0], fmax=18.0)
         return sigs, psds, freqs

@@ -177,6 +177,25 @@ def make_eval_step(ae: AutoencoderKL):
     return eval_step
 
 
+def _log_val_figures(run_dir, epoch: int, pair: dict) -> None:
+    """Waveform + PSD-overlay figure artifacts for one val batch
+    (reference cadence: every val interval, train_autoencoderkl.py:262-283).
+    Figure writing must never kill a training run — failures are logged."""
+    if not pair:
+        return
+    try:
+        from sleepgen.data.transforms import to_bcl
+        from sleepgen.eval.reports import (save_reconstruction_figure,
+                                           save_spectral_figure)
+
+        orig = to_bcl(pair["orig"][:1])
+        recon = to_bcl(pair["recon"][:1])
+        save_reconstruction_figure(run_dir, epoch, orig, recon)
+        save_spectral_figure(run_dir, epoch, orig, recon)
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"figure logging failed at epoch {epoch}: {e}", flush=True)
+
+
 @dataclass
 class AEKLTrainResult:
     run_dir: str
@@ -244,9 +263,16 @@ def train_aekl(
             break
 
         if (epoch + 1) % cfg.train.val_interval == 0:
+            first_pair = {}
+
             def _losses(bi, batch):
                 dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
                 l1, recon = eval_step(state.params_g, dev_batch)
+                if bi == 0:  # figures plot sample 0 only — fetch just that
+                    first_pair["orig"] = np.asarray(
+                        jax.device_get(dev_batch[:1]), np.float32)
+                    first_pair["recon"] = np.asarray(
+                        jax.device_get(recon[:1]), np.float32)
                 return l1
 
             val_loss = masked_epoch_mean(
@@ -255,6 +281,11 @@ def train_aekl(
                                        shuffle=True, pad_multiple=n_dev),
                 _losses)
             logger_v.log(epoch, {"recons_loss": val_loss})
+            # reconstruction + spectral-overlay figures every val interval —
+            # the diagnostic the reference's authors used to catch the
+            # spectral-loss explosion (train_autoencoderkl.py:262-283,
+            # util.py:137-195)
+            _log_val_figures(run_dir, epoch, first_pair)
             host_state = jax.device_get(state)
             ckpt.save(int(host_state.step), host_state)
             if val_loss <= best_loss:

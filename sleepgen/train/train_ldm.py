@@ -263,10 +263,23 @@ def train_ldm(
 
         x_scaled, x_raw = draw(state.params, state.scale_factor,
                                jax.random.fold_in(rng, epoch))
-        np.save(run_dir / f"sample_unconditioned_{epoch}.npy",
-                to_bcl(np.asarray(jax.device_get(x_scaled))))
-        np.save(run_dir / f"sample_noscale_unconditioned_{epoch}.npy",
-                to_bcl(np.asarray(jax.device_get(x_raw))))
+        x_scaled = to_bcl(np.asarray(jax.device_get(x_scaled), np.float32))
+        x_raw = to_bcl(np.asarray(jax.device_get(x_raw), np.float32))
+        np.save(run_dir / f"sample_unconditioned_{epoch}.npy", x_scaled)
+        np.save(run_dir / f"sample_noscale_unconditioned_{epoch}.npy", x_raw)
+        # figure artifacts like the reference's in-training sampler
+        # (util.py:226-258: waveform figure + PSD comparison of the decode
+        # with vs without the scale factor); never fatal to training
+        try:
+            from sleepgen.eval.reports import (save_sample_figure,
+                                               save_spectral_figure)
+
+            save_sample_figure(run_dir, epoch, x_scaled)
+            save_spectral_figure(run_dir, epoch, x_scaled, x_raw,
+                                 name="SAMPLE_VS_NOSCALE")
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"sample figure logging failed at epoch {epoch}: {e}",
+                  flush=True)
 
     run_eval(start_epoch)  # eval-first (training.py:337-348)
 

@@ -97,3 +97,114 @@ def test_band_filter_isolates_band():
     assert corr_theta > 0.97
     ratio = np.std(filtered[mid]) / np.std(theta_sig[mid])
     assert 0.8 < ratio < 1.2
+
+
+# -- multitaper (MNE psd_array_multitaper parity) ----------------------------
+
+def _mne_psd_array_multitaper_numpy(x, sfreq, fmin=0.0, fmax=np.inf,
+                                    bandwidth=None, low_bias=True,
+                                    normalization="length"):
+    """Independent numpy transcription of MNE's psd_array_multitaper
+    (mne/time_frequency/multitaper.py): _compute_mt_params taper selection,
+    _mt_spectra DC removal + rfft + DC/Nyquist sqrt(2) adjustment, and
+    _psd_from_mt non-adaptive sqrt-eigenvalue weighting. Written fully in
+    float64 numpy, sharing no code with sleepgen.eval.psd."""
+    from scipy.signal.windows import dpss
+
+    n_times = x.shape[-1]
+    half_nbw = (float(bandwidth) * n_times / (2.0 * sfreq)
+                if bandwidth is not None else 4.0)
+    n_tapers_max = int(2 * half_nbw)
+    tapers, eigvals = dpss(n_times, half_nbw, Kmax=n_tapers_max,
+                           return_ratios=True)
+    if low_bias:
+        keep = eigvals > 0.9
+        if not keep.any():
+            keep = np.zeros_like(keep)
+            keep[np.argmax(eigvals)] = True
+        tapers, eigvals = tapers[keep], eigvals[keep]
+
+    x = np.asarray(x, np.float64)
+    x = x - x.mean(axis=-1, keepdims=True)
+    x_mt = np.fft.rfft(x[..., np.newaxis, :] * tapers, axis=-1)
+    x_mt[..., 0] /= np.sqrt(2.0)
+    if n_times % 2 == 0:
+        x_mt[..., -1] /= np.sqrt(2.0)
+    weights = np.sqrt(eigvals)[:, np.newaxis]
+    psd = weights * x_mt
+    psd = (psd * psd.conj()).real.sum(axis=-2)
+    psd *= 2.0 / (weights * weights.conj()).real.sum()
+    if normalization == "full":
+        psd /= sfreq
+    freqs = np.fft.rfftfreq(n_times, 1.0 / sfreq)
+    mask = (freqs >= fmin) & (freqs <= fmax)
+    return psd[..., mask], freqs[mask]
+
+
+def test_multitaper_matches_independent_numpy_reference():
+    from sleepgen.eval import multitaper_psd
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 3000)).astype(np.float32)
+    got_psd, got_f = multitaper_psd(jnp.asarray(x), sfreq=100.0, fmax=18.0)
+    want_psd, want_f = _mne_psd_array_multitaper_numpy(x, 100.0, fmax=18.0)
+    np.testing.assert_allclose(np.asarray(got_f), want_f, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_psd), want_psd,
+                               rtol=2e-3, atol=1e-8)
+    # odd-length signals exercise the no-Nyquist-halving branch
+    x_odd = x[:, :2999]
+    got_psd, _ = multitaper_psd(jnp.asarray(x_odd), sfreq=100.0, fmax=18.0)
+    want_psd, _ = _mne_psd_array_multitaper_numpy(x_odd, 100.0, fmax=18.0)
+    np.testing.assert_allclose(np.asarray(got_psd), want_psd,
+                               rtol=2e-3, atol=1e-8)
+
+
+def test_multitaper_taper_selection_matches_mne_defaults():
+    """half_nbw=4 -> int(2*4)=8 candidate tapers, low-bias keeps the 7 with
+    concentration > 0.9 (the classic 2NW-1)."""
+    from sleepgen.eval import dpss_tapers
+
+    tapers, eigvals = dpss_tapers(3000, 4.0, True)
+    assert tapers.shape == (7, 3000)
+    assert (eigvals > 0.9).all()
+    # unit-energy tapers, mutually orthogonal (Slepian basis)
+    gram = tapers @ tapers.T
+    np.testing.assert_allclose(gram, np.eye(7), atol=1e-8)
+
+
+def test_multitaper_physics():
+    """'length' normalization: sum over the full one-sided band ~= n*var for
+    white noise; an A-amplitude sine carries A^2/2 total power at its bin."""
+    from sleepgen.eval import multitaper_psd
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((6, 3000)).astype(np.float32)
+    psd, _ = multitaper_psd(jnp.asarray(x), sfreq=100.0, fmax=None)
+    total = float(np.sum(np.asarray(psd), axis=-1).mean()) / 3000.0
+    assert abs(total - 1.0) < 0.05
+
+    t = np.arange(3000) / 100.0
+    s = (2.0 * np.sin(2 * np.pi * 10.0 * t))[None].astype(np.float32)
+    psd, freqs = multitaper_psd(jnp.asarray(s), sfreq=100.0, fmax=None)
+    psd, freqs = np.asarray(psd)[0], np.asarray(freqs)
+    assert freqs[np.argmax(psd)] == pytest.approx(10.0, abs=0.05)
+    assert psd.sum() / 3000.0 == pytest.approx(2.0, rel=1e-3)
+
+
+def test_artifact_contract_psd_is_multitaper(tmp_path):
+    """Pins the psd_list_{i}.npy method to the MNE-faithful multitaper
+    (VERDICT r2: the Welch artifacts were not numerically comparable to
+    reference-produced ones)."""
+    from sleepgen.eval import multitaper_psd_db
+    from sleepgen.sample.sample_ldm import write_sample_artifacts
+
+    rng = np.random.default_rng(5)
+    sig = rng.normal(size=(2, 3000, 1)).astype(np.float32)
+    write_sample_artifacts(tmp_path, [0, 1], sig)
+    art = np.load(tmp_path / "psd_list_1.npy", allow_pickle=True)
+    psds, freqs, psds_mean = art
+    want, want_f = multitaper_psd_db(sig[1].T, fmax=18.0)
+    np.testing.assert_allclose(psds, want, rtol=1e-6)
+    np.testing.assert_allclose(freqs, want_f, atol=1e-6)
+    np.testing.assert_allclose(psds_mean, want.mean(axis=0), rtol=1e-6)
+    assert freqs.max() <= 18.0

@@ -64,6 +64,12 @@ def test_end_to_end_aekl_ldm_sample(tiny_cfg, tiny_ds):
     train_log = [json.loads(l) for l in (run_dir / "metrics_train.jsonl").read_text().splitlines()]
     assert len(train_log) == 2
     assert all(np.isfinite(r["g_loss"]) for r in train_log)
+    # figure logging is wired into the val interval (reference
+    # train_autoencoderkl.py:262-283 cadence): waveform + PSD overlay at
+    # epoch 1 (val_interval=2)
+    assert (run_dir / "reconstruction_RECONSTRUCTION_1.pdf").exists()
+    assert (run_dir / "compare_SPECTRAL_RECONSTRUCTION_1.pdf").exists()
+    assert (run_dir / "original_RECONSTRUCTION_1.npy").exists()
 
     # checkpoint/resume: re-entering the same run dir with a higher epoch
     # budget resumes from the saved step instead of restarting
@@ -84,13 +90,20 @@ def test_end_to_end_aekl_ldm_sample(tiny_cfg, tiny_ds):
     stage1_params = ckpt.restore_best(jax.device_get(state0.params_g))
     ckpt.close()
 
-    # ---- stage 2
-    res2 = train_ldm(tiny_cfg, train, valid, stage1_params,
+    # ---- stage 2 (4 epochs so the every-2x-val-interval in-training
+    # sampler fires at epoch 3, covering its figure artifacts too)
+    cfg_ldm = dataclasses.replace(tiny_cfg)
+    cfg_ldm.train = dataclasses.replace(tiny_cfg.train, n_epochs=4)
+    res2 = train_ldm(cfg_ldm, train, valid, stage1_params,
                      run_name="ldm_test", mesh=mesh)
     assert not res2.stopped_on_nan
     assert np.isfinite(res2.scale_factor) and res2.scale_factor > 0
     ldm_dir = Path(res2.run_dir)
     assert (ldm_dir / "best_model").exists() or (ldm_dir / "final_model").exists()
+    # in-training unconditioned sample artifacts + figures (util.py:226-258)
+    assert (ldm_dir / "sample_unconditioned_3.npy").exists()
+    assert (ldm_dir / "ldm_samples_3.pdf").exists()
+    assert (ldm_dir / "compare_SAMPLE_VS_NOSCALE_3.pdf").exists()
 
     # ---- sampling with per-seed determinism + artifact contract
     from sleepgen.train.train_ldm import DiffusionState
