@@ -245,6 +245,80 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters / K  # per minibatch
         _emit(f"ldm_scan{K}_per_minibatch", b0, dt)
 
+    # ---- all randomness + encode precomputed: pure UNet fwd/bwd/Adam.
+    # vs no_encode this isolates the in-step threefry (normal/randint) cost
+    if "precomputed" in variants:
+        k_t, k_n = jax.random.split(rng)
+        t_fix = jax.random.randint(k_t, (b0,), 0, sched.num_timesteps)
+        noise_fix = jax.random.normal(k_n, (b0, 768, 1), jnp.float32)
+        z_fix = jax.random.normal(rng, (b0, 768, 1), jnp.float32)
+        noisy_fix = sched.add_noise(z_fix, noise_fix, t_fix)
+
+        @jax.jit
+        def precomputed(state, noisy, rng):
+            # rng arg only varies the dispatch signature (relay memoization)
+            loss, grads = jax.value_and_grad(lambda p: jnp.mean((
+                unet.apply({"params": p}, noisy, t_fix).astype(jnp.float32)
+                - noise_fix) ** 2))(state.params)
+            updates, new_opt = opt.update(grads, state.opt, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, params=new_params,
+                                 opt=new_opt), {"loss": loss + 0.0 * rng[0]}
+
+        # vary noisy per call instead of rng
+        noisies = [noisy_fix + 1e-6 * i for i in range(args.iters + 1)]
+        st = fresh_state()
+        st, m = precomputed(st, noisies[-1], rng)
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            st, m = precomputed(st, noisies[i], rng)
+        jax.block_until_ready(m)
+        dt = (time.perf_counter() - t0) / args.iters
+        _emit("ldm_precomputed_inputs", b0, dt,
+              _flops(precomputed, fresh_state(), noisy_fix, rng))
+
+    # ---- component-identity upper bounds inside the TRAIN step (the
+    # sampling ablation's discipline, benches/ablate_unet.py): what would
+    # a free GroupNorm / free attention buy the fused step?
+    if variants & {"gn_identity", "attn_identity", "gn_attn_identity"}:
+        import contextlib
+
+        import sleepgen.nn.layers as layers_mod
+        import sleepgen.nn.unet1d as unet1d_mod
+        from benches.ablate_unet import AttnIdentity, GNIdentity
+
+        @contextlib.contextmanager
+        def swapped(gn=None, attn=None):
+            og, oa = layers_mod.GroupNorm32, layers_mod.AttentionBlock1d
+            try:
+                if gn is not None:
+                    layers_mod.GroupNorm32 = unet1d_mod.GroupNorm32 = gn
+                if attn is not None:
+                    layers_mod.AttentionBlock1d = attn
+                    unet1d_mod.AttentionBlock1d = attn
+                yield
+            finally:
+                layers_mod.GroupNorm32 = unet1d_mod.GroupNorm32 = og
+                layers_mod.AttentionBlock1d = oa
+                unet1d_mod.AttentionBlock1d = oa
+
+        for name, kw in [("gn_identity", {"gn": GNIdentity}),
+                         ("attn_identity", {"attn": AttnIdentity}),
+                         ("gn_attn_identity", {"gn": GNIdentity,
+                                               "attn": AttnIdentity})]:
+            if name not in variants:
+                continue
+            with swapped(**kw):
+                _, _, unet_v, opt_v, state_v, _ = _ldm_parts(cfg, dtype, rng)
+                step_v = make_ldm_train_step(unet_v, ae, ae_params, sched,
+                                             opt_v)
+                batch = jax.random.uniform(rng, (b0, 3072, 1), dtype)
+                dt = _bench(step_v,
+                            jax.tree_util.tree_map(jnp.copy, state_v),
+                            batch, rng, args.iters)
+                _emit(f"ldm_full_{name}", b0, dt)
+
     # ---- AEKL fused G/D step
     if "aekl" in variants:
         for b in batches:

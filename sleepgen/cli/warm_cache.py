@@ -109,7 +109,11 @@ def main(argv=None) -> None:
             # pytree (train_ldm.py) — warm the same arg structure
             ema_params=(jax.tree_util.tree_map(jnp.copy, unet_params)
                         if ema_decay > 0.0 else None))
-        tstep = make_ldm_train_step(unet, ae, ae_params, make_schedule(cfg),
+        # mirror train_ldm's fast_train_math clone or the warmed train-step
+        # graph will not match the real job's
+        u_train = (unet.clone(fast_math=True)
+                   if cfg.fast_train_math and dtype == jnp.bfloat16 else unet)
+        tstep = make_ldm_train_step(u_train, ae, ae_params, make_schedule(cfg),
                                     opt, ema_decay=ema_decay)
         b = args.train_batch or cfg.train.batch_size
         batch = jnp.zeros((b, window, in_ch), dtype)

@@ -151,6 +151,14 @@ class Config:
     # affected. Quality-gated by the FID harness; +~45% DDIM throughput on
     # v5e (benches/ablate_unet.py). Set False for strict fp32-norm sampling.
     fast_sampling_math: bool = True
+    # Training-step mixed precision for the diffusion UNet (LDM/DM): the
+    # same bf16 GN-compute + attention-matmul policy inside the jitted
+    # train step (params and Adam state stay fp32 masters; stats/softmax/
+    # loss fp32). Measured +17% step throughput on v5e
+    # (benches/ablate_train.py: 93.9 -> 110.1 TFLOP/s at batch 256);
+    # gradient fidelity pinned by tests/test_precision.py (cosine > 0.999)
+    # and val-loss parity by the round-3 flagship demo.
+    fast_train_math: bool = False
 
     # -- I/O ------------------------------------------------------------------
     def to_yaml(self, path: str | Path) -> None:

@@ -96,6 +96,9 @@ def train_dm(
     rng = jax.random.PRNGKey(cfg.train.seed)
     sched = make_schedule(cfg)
     unet = build_unet(cfg, 1, 1, dtype)
+    if cfg.fast_train_math and dtype == jnp.bfloat16:
+        # see config.fast_train_math (+17% LDM step on v5e, same param tree)
+        unet = unet.clone(fast_math=True)
 
     window = train_ds.padded_window
     params = unet.init(rng, jnp.zeros((2, window, 1), jnp.float32),

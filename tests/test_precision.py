@@ -149,3 +149,37 @@ def test_fast_math_sampler_tracks_strict():
     corr = np.corrcoef(y_strict.ravel(), y_fast.ravel())[0, 1]
     assert corr > 0.99
     np.testing.assert_allclose(y_fast, y_strict, atol=0.15)
+
+
+def test_fast_math_training_grads_track_strict():
+    """Gradients through the fast-math UNet (bf16 GN compute + attention
+    matmuls) must align with the strict-path gradients on the same params —
+    the contract behind using fast-math inside the *training* step
+    (benches/ablate_train.py; TPU-side quality gate in the demo runs)."""
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, 64, 1))
+    t0 = jnp.zeros((2,), jnp.int32)
+    strict = _mini_unet(jnp.bfloat16)
+    params = strict.init(rng, x0, t0)["params"]
+    fast = strict.clone(fast_math=True)
+
+    sched = NoiseSchedule.create("linear_beta", 1000, 0.0015, 0.0195)
+    z = jax.random.normal(jax.random.PRNGKey(1), (16, 64, 1), jnp.float32)
+    t = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, 1000)
+    noise = jax.random.normal(jax.random.PRNGKey(3), z.shape, jnp.float32)
+    noisy = sched.add_noise(z, noise, t)
+
+    def loss(model, p):
+        pred = model.apply({"params": p}, noisy, t)
+        return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
+
+    l_s, g_s = jax.value_and_grad(lambda p: loss(strict, p))(params)
+    l_f, g_f = jax.value_and_grad(lambda p: loss(fast, p))(params)
+    np.testing.assert_allclose(float(l_f), float(l_s), rtol=1e-2)
+
+    vs = np.concatenate([np.asarray(l, np.float64).ravel()
+                         for l in jax.tree_util.tree_leaves(g_s)])
+    vf = np.concatenate([np.asarray(l, np.float64).ravel()
+                         for l in jax.tree_util.tree_leaves(g_f)])
+    cos = vs @ vf / (np.linalg.norm(vs) * np.linalg.norm(vf) + 1e-30)
+    assert cos > 0.999, cos
