@@ -278,15 +278,31 @@ def main():
         _emit("ldm_precomputed_inputs", b0, dt,
               _flops(precomputed, fresh_state(), noisy_fix, rng))
 
-    # ---- component-identity upper bounds inside the TRAIN step (the
-    # sampling ablation's discipline, benches/ablate_unet.py): what would
-    # a free GroupNorm / free attention buy the fused step?
-    if variants & {"gn_identity", "attn_identity", "gn_attn_identity"}:
+    # ---- component swaps inside the TRAIN step (the sampling ablation's
+    # discipline, benches/ablate_unet.py): identity upper bounds, plus the
+    # hand-derived GroupNorm VJP candidate (sleepgen.nn.fused_norm)
+    swap_variants = {"gn_identity", "attn_identity", "gn_attn_identity",
+                     "custom_gn", "custom_gn_fastmath"}
+    if variants & swap_variants:
         import contextlib
+
+        from flax import linen as nn
 
         import sleepgen.nn.layers as layers_mod
         import sleepgen.nn.unet1d as unet1d_mod
         from benches.ablate_unet import AttnIdentity, GNIdentity
+        from sleepgen.nn.fused_norm import group_norm_silu
+
+        class GNCustomVJP(layers_mod.GroupNorm32):
+            """GroupNorm32 routed through the closed-form-VJP kernel."""
+
+            @nn.compact
+            def __call__(self, x):
+                scale, bias = layers_mod._GNParams(
+                    x.shape[-1], name="GroupNorm_0")()
+                return group_norm_silu(x, scale, bias, self.num_groups,
+                                       self.epsilon, self.fuse_silu,
+                                       self.compute_dtype)
 
         @contextlib.contextmanager
         def swapped(gn=None, attn=None):
@@ -303,14 +319,19 @@ def main():
                 layers_mod.AttentionBlock1d = oa
                 unet1d_mod.AttentionBlock1d = oa
 
-        for name, kw in [("gn_identity", {"gn": GNIdentity}),
-                         ("attn_identity", {"attn": AttnIdentity}),
-                         ("gn_attn_identity", {"gn": GNIdentity,
-                                               "attn": AttnIdentity})]:
+        for name, kw, fm in [
+            ("gn_identity", {"gn": GNIdentity}, False),
+            ("attn_identity", {"attn": AttnIdentity}, False),
+            ("gn_attn_identity", {"gn": GNIdentity, "attn": AttnIdentity},
+             False),
+            ("custom_gn", {"gn": GNCustomVJP}, False),
+            ("custom_gn_fastmath", {"gn": GNCustomVJP}, True),
+        ]:
             if name not in variants:
                 continue
             with swapped(**kw):
-                _, _, unet_v, opt_v, state_v, _ = _ldm_parts(cfg, dtype, rng)
+                _, _, unet_v, opt_v, state_v, _ = _ldm_parts(cfg, dtype, rng,
+                                                             fast_math=fm)
                 step_v = make_ldm_train_step(unet_v, ae, ae_params, sched,
                                              opt_v)
                 batch = jax.random.uniform(rng, (b0, 3072, 1), dtype)
@@ -318,6 +339,55 @@ def main():
                             jax.tree_util.tree_map(jnp.copy, state_v),
                             batch, rng, args.iters)
                 _emit(f"ldm_full_{name}", b0, dt)
+
+    # ---- rematerialization policies: save conv/dot outputs, recompute the
+    # elementwise/norm chain in backward (trades cheap VPU recompute for
+    # not storing + reloading normalized activations from HBM)
+    remat_variants = {"remat_conv", "remat_conv_fastmath", "remat_nothing"}
+    if variants & remat_variants:
+        import functools
+
+        def conv_saveable(prim, *_, **__):
+            return prim.name in ("conv_general_dilated", "dot_general")
+
+        def make_remat_step(u, policy):
+            def train_step(state, batch, rng):
+                step_rng = jax.random.fold_in(rng, state.step)
+                k_enc, k_t, k_noise = jax.random.split(step_rng, 3)
+                z = ae.apply({"params": ae_params}, batch, k_enc,
+                             method=AutoencoderKL.encode_stage_2_inputs)
+                z = jax.lax.stop_gradient(
+                    z.astype(jnp.float32)) * state.scale_factor
+                t = jax.random.randint(k_t, (batch.shape[0],), 0,
+                                       sched.num_timesteps)
+                noise = jax.random.normal(k_noise, z.shape, jnp.float32)
+                noisy = sched.add_noise(z, noise, t)
+
+                @functools.partial(jax.checkpoint, policy=policy)
+                def loss_fn(params):
+                    pred = u.apply({"params": params}, noisy, t)
+                    return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
+
+                loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                updates, new_opt = opt.update(grads, state.opt, state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                return state.replace(step=state.step + 1, params=new_params,
+                                     opt=new_opt), {"loss": loss}
+
+            return jax.jit(train_step, donate_argnums=(0,))
+
+        for name, policy, fm in [
+            ("remat_conv", conv_saveable, False),
+            ("remat_conv_fastmath", conv_saveable, True),
+            ("remat_nothing", jax.checkpoint_policies.nothing_saveable, False),
+        ]:
+            if name not in variants:
+                continue
+            u = unet.clone(fast_math=True) if fm else unet
+            step_r = make_remat_step(u, policy)
+            batch = jax.random.uniform(rng, (b0, 3072, 1), dtype)
+            dt = _bench(step_r, fresh_state(), batch, rng, args.iters)
+            _emit(f"ldm_full_{name}", b0, dt)
 
     # ---- AEKL fused G/D step
     if "aekl" in variants:

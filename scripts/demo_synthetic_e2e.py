@@ -43,6 +43,10 @@ def main():
                    help="run dir with a trained USleep (demo_decode_r2.py); "
                         "reports FID in the trained feature space alongside "
                         "the seeded random-init one")
+    p.add_argument("--fast_train_math", action="store_true",
+                   help="train the LDM with the bf16 fast-math UNet "
+                        "(config.fast_train_math) — the round-3 val-loss "
+                        "parity gate for that default")
     args = p.parse_args()
 
     from sleepgen.config import Config
@@ -70,6 +74,7 @@ def main():
     cfg.train.val_interval = max(args.aekl_epochs // 4, 1)
     cfg.aekl.num_channels = [2, 2, 4] if args.small else [32, 32, 64]
     cfg.aekl.latent_channels = args.latent_channels
+    cfg.fast_train_math = bool(args.fast_train_math)
     if args.small:
         cfg.unet.model_channels = 32
     cfg.losses.kl_weight = 1e-9
@@ -209,6 +214,7 @@ def main():
         "fid_synth_vs_test": fid,
         "fid_test_vs_test_floor": fid_floor,
         "psd_log_correlation": psd_corr,
+        "fast_train_math": bool(args.fast_train_math),
         "wall_clock_sec": round(time.time() - t_start, 1),
     }
     if fid_trained is not None:
