@@ -15,9 +15,9 @@
      (reference compute_fid.py:354-389 uses a pretrained params.pt that
      the repo does not ship).
 
-Writes DEMO_DECODE_r2.json at the repo root.
+Writes the report JSON (default DEMO_DECODE_r3.json) at the repo root.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/demo_decode_r2.py
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/demo_decode.py
 """
 from __future__ import annotations
 
@@ -98,7 +98,8 @@ def train_usleep(x, y, x_val, y_val, n_epochs, batch_size, seed=0, depth=12):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--out", type=str, default="/tmp/sleepgen_decode_r2")
+    p.add_argument("--out", type=str, default="/tmp/sleepgen_decode_r3")
+    p.add_argument("--report", type=str, default="DEMO_DECODE_r3.json")
     p.add_argument("--n_recordings", type=int, default=24)
     p.add_argument("--n_epochs_per_rec", type=int, default=40)
     p.add_argument("--epochs_ab", type=int, default=30)
@@ -257,7 +258,7 @@ def main():
 
     report["wall_clock_sec"] = round(time.time() - t0, 1)
     report.pop("_run_params", None)
-    Path("DEMO_DECODE_r2.json").write_text(json.dumps(report, indent=1))
+    Path(args.report).write_text(json.dumps(report, indent=1))
     print(json.dumps(report, indent=1))
     # a fully successful run leaves no resume state behind
     if partial_path.exists():

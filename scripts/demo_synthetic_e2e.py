@@ -40,7 +40,7 @@ def main():
                    help="also sample with the int8 UNet and report its "
                         "quality metrics next to bf16 (the FID quality gate)")
     p.add_argument("--usleep_checkpoint", type=str, default=None,
-                   help="run dir with a trained USleep (demo_decode_r2.py); "
+                   help="run dir with a trained USleep (demo_decode.py); "
                         "reports FID in the trained feature space alongside "
                         "the seeded random-init one")
     p.add_argument("--fast_train_math", action="store_true",
