@@ -22,7 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "dpm++2m"],
                    help="dpm++2m reaches DDIM-200 quality in ~20 steps")
-    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=64)  # v5e optimum for the scan samplers (BASELINE.md r3 DPM table: 64 beats 256 by ~20%)
     p.add_argument("--spe", type=str, default="no-spectral")
     p.add_argument("--latent_channels", type=int, default=None)
     p.add_argument("--type_dataset", type=str, default="")

@@ -20,7 +20,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--diffusion_path", type=str, required=True,
                    help="LDM run dir")
     p.add_argument("--output_dir", type=str, required=True)
-    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=64)  # v5e optimum (BASELINE.md round-3 sampler tables)
     p.add_argument("--oneshot", action="store_true",
                    help="serve one request from --start/--stop and exit")
     p.add_argument("--start", type=int, default=0)

@@ -146,7 +146,7 @@ def sample_ldm_trials(
     output_dir: str | Path,
     start_seed: int = 0,
     stop_seed: int = 1000,
-    batch_size: int = 256,
+    batch_size: int = 64,  # v5e optimum (BASELINE.md round-3 sampler tables)
     aekl_cfg: Optional[Config] = None,
     base_key: Optional[jax.Array] = None,
     compute_psd: bool = True,

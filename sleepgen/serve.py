@@ -38,7 +38,7 @@ class SamplerService:
     unet_params: dict
     ae_params: dict
     scale_factor: float
-    batch_size: int = 128
+    batch_size: int = 64  # v5e optimum (BASELINE.md round-3 sampler tables)
     base_seed: int = 0
     border_pad: int = 36
     # optional jax.sharding.Mesh: seeds shard over the data axis, params
@@ -51,7 +51,7 @@ class SamplerService:
     # -- constructors --------------------------------------------------------
     @classmethod
     def from_run_dirs(cls, aekl_run_dir: str | Path, ldm_run_dir: str | Path,
-                      batch_size: int = 128, **kw) -> "SamplerService":
+                      batch_size: int = 64, **kw) -> "SamplerService":
         from sleepgen.train.train_aekl import init_state
         from sleepgen.utils import CheckpointManager
 
