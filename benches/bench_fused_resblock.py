@@ -1,0 +1,88 @@
+"""Fused GN+SiLU+conv3 Pallas kernel vs XLA, at the UNet's real shapes.
+
+VERDICT r2 item 7 measurement gate. Shapes: the diffusion UNet's three
+levels at the sampling batch (64) and the training batch (256); bf16
+activations/weights, fp32 stats and accumulation in both contenders.
+
+Usage: python benches/bench_fused_resblock.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from sleepgen.pallas_kernels.fused_resblock import (fused_gn_silu_conv3,
+                                                    gn_silu_conv3_reference)
+
+SHAPES = [
+    # (B, L, C_in, C_out, groups)  — UNet levels, mc=128, groups=32
+    (64, 768, 128, 128, 32),
+    (64, 384, 256, 256, 32),
+    (64, 192, 512, 512, 32),
+    (256, 768, 128, 128, 32),
+    (256, 192, 512, 512, 32),
+]
+
+
+def timeit(fn, args, n=30):
+    out = fn(*args)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    from sleepgen.utils.profiling import tpu_contact
+
+    tpu_contact()
+    rng = jax.random.PRNGKey(0)
+    xla = jax.jit(gn_silu_conv3_reference, static_argnames=("num_groups",))
+
+    for (b, l, cin, cout, g) in SHAPES:
+        ks = jax.random.split(jax.random.fold_in(rng, b * l), 5)
+        x = jax.random.normal(ks[0], (b, l, cin), jnp.bfloat16)
+        scale = jax.random.normal(ks[1], (cin,), jnp.float32)
+        bias = jax.random.normal(ks[2], (cin,), jnp.float32)
+        w = jax.random.normal(ks[3], (3, cin, cout), jnp.bfloat16) * 0.1
+        bb = jax.random.normal(ks[4], (cout,), jnp.float32)
+
+        # vary x between iters via a cheap add to defeat relay memoization
+        def f_xla(i):
+            return xla(x + jnp.bfloat16(i * 1e-3), scale, bias, w, bb,
+                       num_groups=g)
+
+        def f_pal(i):
+            return fused_gn_silu_conv3(x + jnp.bfloat16(i * 1e-3), scale,
+                                       bias, w, bb, g)
+
+        def bench(run):
+            out = run(999)
+            out.block_until_ready()
+            t0 = time.perf_counter()
+            for i in range(30):
+                out = run(i)
+            out.block_until_ready()
+            return (time.perf_counter() - t0) / 30
+
+        t_x = bench(f_xla)
+        t_p = bench(f_pal)
+        print(json.dumps({
+            "shape": [b, l, cin, cout], "groups": g,
+            "xla_ms": round(t_x * 1e3, 3),
+            "pallas_ms": round(t_p * 1e3, 3),
+            "pallas_vs_xla": round(t_x / t_p, 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -105,14 +105,14 @@ def _pallas_forward(x, scale, bias, num_groups, eps, apply_silu, interpret):
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, l, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, l, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x, scale[None, :], bias[None, :])
@@ -178,7 +178,7 @@ def group_norm_silu_tiled(
     nt = l // tile
     d = c // num_groups
 
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     partial = pl.pallas_call(
         _stats_kernel,
         grid=(b, nt),

@@ -70,3 +70,29 @@ def test_tiled_group_norm_matches_reference():
         y_ref = group_norm_silu_reference(x, scale, bias, g)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gn_silu_conv3_matches_reference():
+    """pallas_kernels.fused_resblock: the fused GN+SiLU+conv3 kernel must
+    match the jnp reference (interpreter mode on CPU) at UNet-like shapes,
+    including C_in != C_out and num_groups == 1."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sleepgen.pallas_kernels.fused_resblock import (
+        fused_gn_silu_conv3, gn_silu_conv3_reference)
+
+    rng = np.random.default_rng(3)
+    for (b, l, cin, cout, g) in [(2, 96, 32, 64, 32), (3, 64, 16, 16, 8),
+                                 (2, 128, 32, 32, 1)]:
+        x = jnp.asarray(rng.normal(size=(b, l, cin)).astype(np.float32))
+        scale = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, cin, cout)).astype(np.float32)
+                        * 0.1)
+        bb = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+        y = fused_gn_silu_conv3(x, scale, bias, w, bb, g, interpret=True)
+        want = gn_silu_conv3_reference(x, scale, bias, w, bb, g)
+        assert y.shape == (b, l, cout)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
