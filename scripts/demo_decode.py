@@ -100,11 +100,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", type=str, default="/tmp/sleepgen_decode_r3")
     p.add_argument("--report", type=str, default="DEMO_DECODE_r3.json")
-    p.add_argument("--n_recordings", type=int, default=24)
-    p.add_argument("--n_epochs_per_rec", type=int, default=40)
-    p.add_argument("--epochs_ab", type=int, default=30)
-    p.add_argument("--epochs_c", type=int, default=15)
-    p.add_argument("--usleep_epochs", type=int, default=15)
+    p.add_argument("--n_recordings", type=int, default=48)
+    p.add_argument("--n_epochs_per_rec", type=int, default=60)
+    p.add_argument("--epochs_ab", type=int, default=60)
+    p.add_argument("--epochs_c", type=int, default=30)
+    p.add_argument("--usleep_epochs", type=int, default=30)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--skip", type=str, default="",
                    help="comma list of steps to skip: a,b,c,ref,usleep")

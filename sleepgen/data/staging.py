@@ -137,7 +137,7 @@ def _stage_epoch(rng: np.random.Generator, stage: int, t: np.ndarray,
         env = np.exp(-0.5 * ((t - center_s) / (dur_s / 2.0)) ** 2)
         return amp * env * np.sin(2 * np.pi * freq * t + rng.uniform(0, 2 * np.pi))
 
-    x = 1.8 * pink_noise(rng, n)
+    x = 1.4 * pink_noise(rng, n)
     if stage == 0:  # Wake: alpha bursts + faint EMG-like fast activity
         for _ in range(rng.integers(1, 4)):
             x += burst(subj["alpha"], rng.uniform(0.35, 0.7),
@@ -201,10 +201,10 @@ def make_synthetic_staged(
     for rec in range(n_recordings):
         subj = {
             "gain": float(np.exp(0.3 * rng.normal())),
-            "alpha": float(rng.normal(10.0, 0.6)),
-            "theta": float(rng.normal(5.5, 0.5)),
+            "alpha": float(rng.normal(10.0, 0.3)),
+            "theta": float(rng.normal(5.5, 0.25)),
             "delta": float(rng.uniform(0.8, 1.6)),
-            "spindle": float(rng.normal(13.0, 0.7)),
+            "spindle": float(rng.normal(13.0, 0.35)),
         }
         sig, anns = [], []
         s = int(rng.integers(0, 5))
