@@ -56,30 +56,44 @@ def main():
         w = jax.random.normal(ks[3], (3, cin, cout), jnp.bfloat16) * 0.1
         bb = jax.random.normal(ks[4], (cout,), jnp.float32)
 
-        # vary x between iters via a cheap add to defeat relay memoization
-        def f_xla(i):
-            return xla(x + jnp.bfloat16(i * 1e-3), scale, bias, w, bb,
-                       num_groups=g)
+        # single dispatches sit at the relay's ~0.12 ms floor at these op
+        # sizes, so run REPS applications inside ONE jit and divide. Each
+        # iteration reads an INDEPENDENT input slice from HBM and writes its
+        # output (realistic memory behavior); feeding output back into input
+        # was tried first and penalizes XLA >10x with scan-carry relayouts,
+        # contradicting its own dispatch-pipelined floor — not a fair chain.
+        REPS = 32
+        xs = jax.random.normal(ks[0], (REPS, b, l, cin), jnp.bfloat16)
 
-        def f_pal(i):
-            return fused_gn_silu_conv3(x + jnp.bfloat16(i * 1e-3), scale,
-                                       bias, w, bb, g)
+        def make_chain(op):
+            @jax.jit
+            def chain(xs):
+                def body(_, xi):
+                    return None, op(xi, scale, bias, w, bb, g)
+                _, ys = jax.lax.scan(body, None, xs)
+                return ys
+            return chain
+
+        chain_xla = make_chain(
+            lambda xi, s, bi, wi, bbi, gi:
+                gn_silu_conv3_reference(xi, s, bi, wi, bbi, num_groups=gi))
+        chain_pal = make_chain(fused_gn_silu_conv3)
 
         def bench(run):
-            out = run(999)
+            out = run(xs)
             out.block_until_ready()
             t0 = time.perf_counter()
-            for i in range(30):
-                out = run(i)
+            for i in range(4):
+                out = run(xs + jnp.bfloat16(i * 1e-3))
             out.block_until_ready()
-            return (time.perf_counter() - t0) / 30
+            return (time.perf_counter() - t0) / (4 * REPS)
 
-        t_x = bench(f_xla)
-        t_p = bench(f_pal)
+        t_x = bench(chain_xla)
+        t_p = bench(chain_pal)
         print(json.dumps({
             "shape": [b, l, cin, cout], "groups": g,
-            "xla_ms": round(t_x * 1e3, 3),
-            "pallas_ms": round(t_p * 1e3, 3),
+            "xla_ms": round(t_x * 1e3, 4),
+            "pallas_ms": round(t_p * 1e3, 4),
             "pallas_vs_xla": round(t_x / t_p, 2),
         }), flush=True)
 

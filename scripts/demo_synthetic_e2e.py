@@ -47,6 +47,12 @@ def main():
                    help="train the LDM with the bf16 fast-math UNet "
                         "(config.fast_train_math) — the round-3 val-loss "
                         "parity gate for that default")
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "dpm++2m"],
+                   help="sampler for the metric samples")
+    p.add_argument("--sample_steps", type=int, default=200)
+    p.add_argument("--sample_batch", type=int, default=64,
+                   help="seed batch (64 = v5e optimum, BASELINE.md r3)")
     args = p.parse_args()
 
     from sleepgen.config import Config
@@ -116,11 +122,15 @@ def main():
     best = ckpt2.restore_best(tpl)
     ckpt2.close()
 
+    cfg.diffusion.sampler = args.sampler
+    cfg.diffusion.num_inference_steps = args.sample_steps
     print(f"[{time.time()-t_start:.0f}s] sampling {args.n_samples} windows "
-          f"(DDIM-200)...", flush=True)
+          f"({args.sampler}-{args.sample_steps}, batch {args.sample_batch})...",
+          flush=True)
     sigs = sample_ldm_trials(
         cfg, best["params"], stage1, float(best["scale_factor"]),
-        out / "samples", 0, args.n_samples, batch_size=min(args.n_samples, 128),
+        out / "samples", 0, args.n_samples,
+        batch_size=min(args.n_samples, args.sample_batch),
         compute_psd=False)
 
     # ---- metrics
@@ -215,6 +225,7 @@ def main():
         "fid_test_vs_test_floor": fid_floor,
         "psd_log_correlation": psd_corr,
         "fast_train_math": bool(args.fast_train_math),
+        "sampler": f"{args.sampler}-{args.sample_steps}",
         "wall_clock_sec": round(time.time() - t_start, 1),
     }
     if fid_trained is not None:

@@ -151,6 +151,14 @@ class Config:
     # affected. Quality-gated by the FID harness; +~45% DDIM throughput on
     # v5e (benches/ablate_unet.py). Set False for strict fp32-norm sampling.
     fast_sampling_math: bool = True
+    # Sampling-only fused resblock: run every GroupNorm->SiLU->conv3 chain
+    # in the diffusion UNet as ONE Pallas kernel (one HBM read/write per
+    # chain instead of XLA's separate norm and conv passes). Identical math
+    # class to fast_sampling_math (fp32 stats, bf16 MXU); same param tree,
+    # so checkpoints are interchangeable. Default set by the measured
+    # verdict in BASELINE.md round-3 (benches/bench_fused_resblock.py +
+    # end-to-end sampler A/B).
+    fused_resblock_sampling: bool = False
     # Training-step mixed precision for the diffusion UNet (LDM/DM): the
     # same bf16 GN-compute + attention-matmul policy inside the jitted
     # train step (params and Adam state stay fp32 masters; stats/softmax/

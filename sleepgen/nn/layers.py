@@ -62,6 +62,29 @@ class _GNParams(nn.Module):
         return scale, bias
 
 
+class ConvParams(nn.Module):
+    """kernel/bias holder with nn.Conv-compatible param names and
+    initializers. The fused GN+SiLU+conv3 resblock path (unet1d.py)
+    consumes the conv weights directly in a Pallas kernel; declaring them
+    through this module (named identically to the conv1d it replaces)
+    keeps the parameter tree — and therefore every checkpoint — shared
+    between the fused and unfused graphs."""
+
+    features: int
+    kernel: int = 3
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.lecun_normal())
+        w = self.param("kernel", init, (self.kernel, in_features, self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return w, b
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm computed in float32 regardless of compute dtype.
 
@@ -86,9 +109,15 @@ class GroupNorm32(nn.Module):
     fuse_silu: bool = False
     use_pallas: bool = False
     compute_dtype: Dtype | None = None
+    # return the (scale, bias) affine params instead of computing the norm —
+    # the fused resblock path (unet1d.py) feeds them to a Pallas kernel that
+    # does norm+SiLU+conv in one VMEM residency. Same param tree either way.
+    return_affine: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
+        if self.return_affine:
+            return _GNParams(x.shape[-1], name="GroupNorm_0")()
         orig = x.dtype
         # sampling fast-math wins over the (fp32-only, off-by-default)
         # Pallas kernel — otherwise use_pallas_norm would silently disable

@@ -33,6 +33,7 @@ from flax import linen as nn
 
 from sleepgen.nn.layers import (
     AttentionBlock1d,
+    ConvParams,
     Dtype,
     GroupNorm32,
     avg_pool_1d,
@@ -69,23 +70,53 @@ class TimestepResBlock(nn.Module):
     use_pallas_norm: bool = False
     quantized: bool = False
     fast_math: bool = False  # inference-only: bf16 GN compute (fp32 stats)
+    # inference-only: run each GroupNorm->SiLU->conv3 chain as ONE Pallas
+    # kernel (sleepgen.pallas_kernels.fused_resblock) — one HBM read, one
+    # write, fp32 stats, compute-dtype MXU matmuls. Same param tree as the
+    # unfused graph (ConvParams/_GNParams declare identically-named params),
+    # so any checkpoint runs either way.
+    use_fused_resblock: bool = False
+
+    def _fused_chain(self, x, gn_params_fn, conv_name, out_ch,
+                     zero_init=False):
+        from sleepgen.pallas_kernels.fused_resblock import fused_gn_silu_conv3
+
+        scale, bias = gn_params_fn(x)
+        w, b = ConvParams(out_ch, 3, zero_init=zero_init,
+                          name=conv_name)(x.shape[-1])
+        return fused_gn_silu_conv3(x.astype(self.dtype), scale, bias,
+                                   w.astype(self.dtype), b, self.num_groups)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         out_ch = self.out_channels
         gn_dtype = self.dtype if self.fast_math else None
+        # the fused kernel handles the plain norm->silu->conv3 chain only:
+        # up/down resampling sits between norm and conv in chain 1, and
+        # scale-shift/dropout break chain 2 (no reference config uses them)
+        fuse1 = self.use_fused_resblock and not (self.up or self.down)
+        fuse2 = (self.use_fused_resblock and not self.use_scale_shift_norm
+                 and self.dropout == 0.0)
 
-        h = GroupNorm32(self.num_groups, fuse_silu=True,
-                        use_pallas=self.use_pallas_norm,
-                        compute_dtype=gn_dtype)(x)
-        if self.up:
-            h = nearest_upsample_1d(h)
-            x = nearest_upsample_1d(x)
-        elif self.down:
-            h = avg_pool_1d(h)
-            x = avg_pool_1d(x)
-        h = _make_conv(self.quantized, out_ch, 3, self.dtype, "in_conv")(h)
+        def gn(fuse_silu=True, return_affine=False):
+            return GroupNorm32(self.num_groups, fuse_silu=fuse_silu,
+                               use_pallas=self.use_pallas_norm,
+                               compute_dtype=gn_dtype,
+                               return_affine=return_affine)
+
+        if fuse1:
+            h = self._fused_chain(x, lambda v: gn(return_affine=True)(v),
+                                  "in_conv", out_ch)
+        else:
+            h = gn()(x)
+            if self.up:
+                h = nearest_upsample_1d(h)
+                x = nearest_upsample_1d(x)
+            elif self.down:
+                h = avg_pool_1d(h)
+                x = avg_pool_1d(x)
+            h = _make_conv(self.quantized, out_ch, 3, self.dtype, "in_conv")(h)
 
         emb_out = nn.Dense(
             2 * out_ch if self.use_scale_shift_norm else out_ch,
@@ -99,15 +130,21 @@ class TimestepResBlock(nn.Module):
                             use_pallas=self.use_pallas_norm,
                             compute_dtype=gn_dtype)(h) * (1 + scale) + shift
             h = nn.silu(h)
+            if self.dropout > 0.0:
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = _make_conv(self.quantized, out_ch, 3, self.dtype, "out_conv",
+                           zero_init=True)(h)
+        elif fuse2:
+            h = self._fused_chain(h + emb_out,
+                                  lambda v: gn(return_affine=True)(v),
+                                  "out_conv", out_ch, zero_init=True)
         else:
             h = h + emb_out
-            h = GroupNorm32(self.num_groups, fuse_silu=True,
-                            use_pallas=self.use_pallas_norm,
-                            compute_dtype=gn_dtype)(h)
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = _make_conv(self.quantized, out_ch, 3, self.dtype, "out_conv",
-                       zero_init=True)(h)
+            h = gn()(h)
+            if self.dropout > 0.0:
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = _make_conv(self.quantized, out_ch, 3, self.dtype, "out_conv",
+                           zero_init=True)(h)
 
         if x.shape[-1] != out_ch:
             x = _make_conv(self.quantized, out_ch, 1, self.dtype, "skip_conv")(x)
@@ -142,6 +179,10 @@ class UNet1d(nn.Module):
     # attention length exceeds this — makes window length a config beyond
     # the reference's fixed 3072 (SURVEY.md §5 long-context)
     kv_block_size: int = 0
+    # inference-only: fuse every GroupNorm->SiLU->conv3 chain into one
+    # Pallas VMEM-resident kernel (fused_resblock.py). Checkpoint-compatible
+    # with the unfused graph; measured on v5e in BASELINE.md round-3.
+    use_fused_resblock: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
@@ -175,6 +216,7 @@ class UNet1d(nn.Module):
                 use_pallas_norm=self.use_pallas_norm,
                 quantized=self.quantized,
                 fast_math=self.fast_math,
+                use_fused_resblock=self.use_fused_resblock,
                 name=name,
                 **kw,
             )(h, e, deterministic)

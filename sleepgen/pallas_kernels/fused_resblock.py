@@ -94,12 +94,17 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "eps", "interpret"))
 def fused_gn_silu_conv3(x, scale, bias, w, b, num_groups: int,
-                        eps: float = 1e-6, interpret: bool = False):
+                        eps: float = 1e-6, interpret: bool | None = None):
     """Fused forward of GroupNorm+SiLU+Conv1d(k=3, SAME) over (B, L, C_in).
 
     w: (3, C_in, C_out); returns (B, L, C_out) in x.dtype. Inference
     prototype (no custom VJP — the training verdict on custom backward
-    boundaries is already negative, BASELINE.md round-3)."""
+    boundaries is already negative, BASELINE.md round-3).
+    ``interpret=None``: Pallas on TPU, interpreter elsewhere (CPU tests)."""
+    if interpret is None:
+        from sleepgen.pallas_kernels.group_norm import _on_tpu
+
+        interpret = not _on_tpu()
     bsz, l, c = x.shape
     c_out = w.shape[-1]
     kern = functools.partial(_kernel, num_groups=num_groups, eps=eps)

@@ -177,7 +177,10 @@ def sample_ldm_trials(
         unet = unet.clone(quantized=True)
         unet_params = quantize_unet_params(unet_params)
     elif cfg.fast_sampling_math and dtype == jnp.bfloat16:
-        unet = unet.clone(fast_math=True)
+        unet = unet.clone(fast_math=True,
+                          use_fused_resblock=cfg.fused_resblock_sampling)
+    elif cfg.fused_resblock_sampling:
+        unet = unet.clone(use_fused_resblock=True)
     sched = sampling_schedule(cfg)
     if mesh is not None:
         n_data = mesh.shape["data"]

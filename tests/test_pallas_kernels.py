@@ -72,6 +72,29 @@ def test_tiled_group_norm_matches_reference():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_unet_with_fused_resblock_matches_unfused():
+    """use_fused_resblock must not change outputs or the param tree: a
+    checkpoint initialized by the unfused graph runs through the fused one
+    (ConvParams/_GNParams name-compat), and vice versa."""
+    from sleepgen.nn import UNet1d
+
+    rng = jax.random.PRNGKey(4)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 64, 1)),
+                    jnp.float32)
+    t = jnp.array([7, 250])
+    kw = dict(model_channels=16, channel_mult=(1, 2), num_groups=8,
+              attention_resolutions=(2,))
+    m0 = UNet1d(use_fused_resblock=False, **kw)
+    m1 = UNet1d(use_fused_resblock=True, **kw)
+    p0 = m0.init(rng, x, t)
+    p1 = m1.init(rng, x, t)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    y0 = m0.apply(p0, x, t)
+    y1 = m1.apply(p0, x, t)  # unfused-initialized params through fused graph
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_fused_gn_silu_conv3_matches_reference():
     """pallas_kernels.fused_resblock: the fused GN+SiLU+conv3 kernel must
     match the jnp reference (interpreter mode on CPU) at UNet-like shapes,
