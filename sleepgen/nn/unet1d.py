@@ -79,13 +79,15 @@ class TimestepResBlock(nn.Module):
 
     def _fused_chain(self, x, gn_params_fn, conv_name, out_ch,
                      zero_init=False):
-        from sleepgen.pallas_kernels.fused_resblock import fused_gn_silu_conv3
+        from sleepgen.pallas_kernels.fused_resblock import (
+            fused_gn_silu_conv3_tiled)
 
         scale, bias = gn_params_fn(x)
         w, b = ConvParams(out_ch, 3, zero_init=zero_init,
                           name=conv_name)(x.shape[-1])
-        return fused_gn_silu_conv3(x.astype(self.dtype), scale, bias,
-                                   w.astype(self.dtype), b, self.num_groups)
+        return fused_gn_silu_conv3_tiled(x.astype(self.dtype), scale, bias,
+                                         w.astype(self.dtype), b,
+                                         self.num_groups)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,

@@ -92,6 +92,90 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *,
     o_ref[0] = y.astype(o_ref.dtype)
 
 
+def _kernel_tiled(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *,
+                  num_groups, eps):
+    """TB batch elements per program: per-element GroupNorm stats, then ONE
+    merged (TB*L, C_in) @ (C_in, C_out) MXU matmul per conv tap — the per-B
+    grid's (L, C) matmuls leave the MXU pipeline short."""
+    x = x_ref[...].astype(jnp.float32)  # (TB, L, C)
+    tb, l, c = x.shape
+    d = c // num_groups
+
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    member = (ch // d == grp).astype(jnp.float32)
+    cs = jnp.sum(x, axis=1)          # (TB, C)
+    css = jnp.sum(x * x, axis=1)     # (TB, C)
+    gs = jnp.dot(cs, member, preferred_element_type=jnp.float32)
+    gss = jnp.dot(css, member, preferred_element_type=jnp.float32)
+    n = jnp.float32(l * d)
+    mean_g = gs / n                  # (TB, G)
+    var_g = gss / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, member.T, preferred_element_type=jnp.float32)
+
+    h = (x - mean_c[:, None, :]) * inv_c[:, None, :]
+    h = h * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    h = h * jax.nn.sigmoid(h)
+    h = h.astype(w_ref.dtype)
+
+    hf = h.reshape(tb * l, c)        # merged-M matmuls
+    c_out = w_ref.shape[-1]
+    y1 = jnp.dot(hf, w_ref[1], preferred_element_type=jnp.float32)
+    y0 = jnp.dot(hf, w_ref[0], preferred_element_type=jnp.float32)
+    y2 = jnp.dot(hf, w_ref[2], preferred_element_type=jnp.float32)
+    y0 = y0.reshape(tb, l, c_out)
+    y2 = y2.reshape(tb, l, c_out)
+    zero = jnp.zeros((tb, 1, c_out), jnp.float32)
+    # SAME k=3: y[t] = h[t-1]@w0 + h[t]@w1 + h[t+1]@w2, zero at borders —
+    # shifting after the matmul keeps every dot 8-row aligned
+    y = y1.reshape(tb, l, c_out)
+    y += jnp.concatenate([zero, y0[:, :-1]], axis=1)
+    y += jnp.concatenate([y2[:, 1:], zero], axis=1)
+    y += b_ref[0].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_groups", "eps", "interpret", "tb"))
+def fused_gn_silu_conv3_tiled(x, scale, bias, w, b, num_groups: int,
+                              eps: float = 1e-6,
+                              interpret: bool | None = None, tb: int = 8):
+    """Batch-tiled fused GN+SiLU+conv3: tb elements per Pallas program.
+    Falls back to the largest tb' <= tb dividing B. See _kernel_tiled."""
+    if interpret is None:
+        from sleepgen.pallas_kernels.group_norm import _on_tpu
+
+        interpret = not _on_tpu()
+    bsz, l, c = x.shape
+    c_out = w.shape[-1]
+    while bsz % tb:
+        tb //= 2
+    # stay well inside the ~16 MB VMEM: x fp32 + h bf16 (6c bytes/row) and
+    # three fp32 conv taps + bf16 out (~14*c_out bytes/row), plus weights
+    while tb > 1 and tb * l * (6 * c + 14 * c_out) + 6 * c * c_out > 10 * 2**20:
+        tb //= 2
+    kern = functools.partial(_kernel_tiled, num_groups=num_groups, eps=eps)
+    mspace = pl.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        kern,
+        grid=(bsz // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, l, c), lambda i: (i, 0, 0), memory_space=mspace),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=mspace),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=mspace),
+            pl.BlockSpec((3, c, c_out), lambda i: (0, 0, 0),
+                         memory_space=mspace),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0), memory_space=mspace),
+        ],
+        out_specs=pl.BlockSpec((tb, l, c_out), lambda i: (i, 0, 0),
+                               memory_space=mspace),
+        out_shape=jax.ShapeDtypeStruct((bsz, l, c_out), x.dtype),
+        interpret=interpret,
+    )(x, scale[None, :], bias[None, :], w, b[None, :])
+
+
 @functools.partial(jax.jit, static_argnames=("num_groups", "eps", "interpret"))
 def fused_gn_silu_conv3(x, scale, bias, w, b, num_groups: int,
                         eps: float = 1e-6, interpret: bool | None = None):

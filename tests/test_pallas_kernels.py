@@ -72,6 +72,29 @@ def test_tiled_group_norm_matches_reference():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_fused_gn_silu_conv3_tiled_matches_reference():
+    """Batch-tiled variant (merged-M matmuls, shift-after-matmul conv)
+    must match the jnp reference, including tb not dividing B cleanly."""
+    from sleepgen.pallas_kernels.fused_resblock import (
+        fused_gn_silu_conv3_tiled, gn_silu_conv3_reference)
+
+    rng = np.random.default_rng(7)
+    for (b, l, cin, cout, g, tb) in [(8, 96, 32, 64, 32, 4),
+                                     (6, 64, 16, 16, 8, 4),
+                                     (4, 128, 32, 32, 1, 8)]:
+        x = jnp.asarray(rng.normal(size=(b, l, cin)).astype(np.float32))
+        scale = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, cin, cout)).astype(np.float32)
+                        * 0.1)
+        bb = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+        y = fused_gn_silu_conv3_tiled(x, scale, bias, w, bb, g,
+                                      interpret=True, tb=tb)
+        want = gn_silu_conv3_reference(x, scale, bias, w, bb, g)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_unet_with_fused_resblock_matches_unfused():
     """use_fused_resblock must not change outputs or the param tree: a
     checkpoint initialized by the unfused graph runs through the fused one
