@@ -48,8 +48,10 @@ def main():
                         "(config.fast_train_math) — the round-3 val-loss "
                         "parity gate for that default")
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "dpm++2m"],
-                   help="sampler for the metric samples")
+                   choices=["ddim", "dpm++2m", "both"],
+                   help="sampler for the metric samples; 'both' runs the "
+                        "DDIM parity sampler AND DPM++2M-20 from the same "
+                        "checkpoints and reports both metric sets")
     p.add_argument("--sample_steps", type=int, default=200)
     p.add_argument("--sample_batch", type=int, default=64,
                    help="seed batch (64 = v5e optimum, BASELINE.md r3)")
@@ -122,11 +124,11 @@ def main():
     best = ckpt2.restore_best(tpl)
     ckpt2.close()
 
-    cfg.diffusion.sampler = args.sampler
+    cfg.diffusion.sampler = "ddim" if args.sampler == "both" else args.sampler
     cfg.diffusion.num_inference_steps = args.sample_steps
     print(f"[{time.time()-t_start:.0f}s] sampling {args.n_samples} windows "
-          f"({args.sampler}-{args.sample_steps}, batch {args.sample_batch})...",
-          flush=True)
+          f"({cfg.diffusion.sampler}-{args.sample_steps}, "
+          f"batch {args.sample_batch})...", flush=True)
     sigs = sample_ldm_trials(
         cfg, best["params"], stage1, float(best["scale_factor"]),
         out / "samples", 0, args.n_samples,
@@ -214,6 +216,37 @@ def main():
     ps = np.asarray(psd_s).mean(0)
     psd_corr = float(np.corrcoef(np.log10(pt + 1e-30), np.log10(ps + 1e-30))[0, 1])
 
+    dpm_metrics = None
+    if args.sampler == "both":
+        # same checkpoints through DPM++2M-20 — the 10x-fewer-steps
+        # quality gate next to the DDIM-200 parity numbers
+        cfg.diffusion.sampler = "dpm++2m"
+        cfg.diffusion.num_inference_steps = 20
+        print(f"[{time.time()-t_start:.0f}s] sampling {args.n_samples} "
+              f"windows (dpm++2m-20, batch {args.sample_batch})...",
+              flush=True)
+        t_d = time.time()
+        sigs_d = sample_ldm_trials(
+            cfg, best["params"], stage1, float(best["scale_factor"]),
+            out / "samples_dpm", 0, args.n_samples,
+            batch_size=min(args.n_samples, args.sample_batch),
+            compute_psd=False)
+        d_sec = time.time() - t_d
+        psd_d, _ = welch_psd(jnp.asarray(sigs_d[..., 0]), fmax=18.0)
+        dpm_metrics = {
+            "fid_synth_vs_test": compute_fid(m, variables, test_crop,
+                                             sigs_d[:k]),
+            "ms_ssim_synth_pairs": float(np.mean(np.asarray(ms_ssim_1d(
+                jnp.asarray(sigs_d[:-1]), jnp.asarray(sigs_d[1:]))))),
+            "psd_log_correlation": float(np.corrcoef(
+                np.log10(pt + 1e-30),
+                np.log10(np.asarray(psd_d).mean(0) + 1e-30))[0, 1]),
+            "sample_sec_incl_compile": round(d_sec, 1),
+        }
+        if args.usleep_checkpoint:
+            dpm_metrics["fid_trained_features"] = compute_fid(
+                mt, vt, test_crop, sigs_d[:k])
+
     report = {
         "aekl_best_val_l1": res1.best_loss,
         "ldm_best_val_loss": res2.best_loss,
@@ -225,7 +258,8 @@ def main():
         "fid_test_vs_test_floor": fid_floor,
         "psd_log_correlation": psd_corr,
         "fast_train_math": bool(args.fast_train_math),
-        "sampler": f"{args.sampler}-{args.sample_steps}",
+        "sampler": ("ddim" if args.sampler == "both" else args.sampler)
+                   + f"-{args.sample_steps}",
         "wall_clock_sec": round(time.time() - t_start, 1),
     }
     if fid_trained is not None:
@@ -233,6 +267,8 @@ def main():
         report["fid_trained_features_floor"] = fid_trained_floor
     if quant_metrics is not None:
         report["int8"] = quant_metrics
+    if dpm_metrics is not None:
+        report["dpm_pp_2m_20"] = dpm_metrics
     (out / "report.json").write_text(json.dumps(report, indent=1))
     print(json.dumps(report, indent=1))
 

@@ -85,7 +85,11 @@ class SamplerService:
             lc = self.aekl_cfg.aekl.latent_channels
             unet = build_unet(self.cfg, lc, lc, dtype)
             if self.cfg.fast_sampling_math and dtype == jnp.bfloat16:
-                unet = unet.clone(fast_math=True)
+                unet = unet.clone(
+                    fast_math=True,
+                    use_fused_resblock=self.cfg.fused_resblock_sampling)
+            elif self.cfg.fused_resblock_sampling:
+                unet = unet.clone(use_fused_resblock=True)
             sched = sampling_schedule(self.cfg)
             if self.mesh is not None:
                 n_data = self.mesh.shape["data"]
