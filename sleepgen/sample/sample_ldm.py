@@ -193,6 +193,18 @@ def sample_ldm_trials(
     base_key = base_key if base_key is not None else jax.random.PRNGKey(0)
     sf = jnp.asarray(scale_factor, jnp.float32)
 
+    # pin checkpoint params (host numpy) on device once — otherwise every
+    # seed batch re-uploads both parameter trees through the TPU relay
+    if mesh is not None:
+        from sleepgen.parallel import replicated
+
+        rep = replicated(mesh)
+        unet_params = jax.device_put(unet_params, rep)
+        ae_params = jax.device_put(ae_params, rep)
+    else:
+        unet_params = jax.device_put(unet_params)
+        ae_params = jax.device_put(ae_params)
+
     all_seeds = np.arange(start_seed, stop_seed)
     outs = []
     for i in range(0, len(all_seeds), batch_size):

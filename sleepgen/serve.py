@@ -101,6 +101,25 @@ class SamplerService:
                 sampler=self.cfg.diffusion.sampler, mesh=self.mesh)
         return self._samplers[batch]
 
+    def _ensure_device_params(self):
+        """Pin the parameter trees on device once. Checkpoint restores hand
+        back host numpy arrays; passing those into the jitted sampler would
+        re-upload every parameter on every request (measured: ~2.8 s/request
+        through the TPU relay at batch 1 vs ~ms once resident). With a mesh,
+        params are placed replicated so sharded requests skip the broadcast."""
+        if getattr(self, "_params_on_device", False):
+            return
+        if self.mesh is not None:
+            from sleepgen.parallel import replicated
+
+            sh = replicated(self.mesh)
+            put = lambda t: jax.device_put(t, sh)  # noqa: E731
+        else:
+            put = jax.device_put
+        self.unet_params = put(self.unet_params)
+        self.ae_params = put(self.ae_params)
+        self._params_on_device = True
+
     def warmup(self) -> float:
         """Compile the sampler ahead of traffic; returns compile seconds.
         The warmup call is excluded from ``stats`` so the first real
@@ -118,6 +137,7 @@ class SamplerService:
         Per-seed deterministic (same contract as sample_trials)."""
         seeds = np.asarray(list(seeds), np.int32)
         key = base_key if base_key is not None else jax.random.PRNGKey(self.base_seed)
+        self._ensure_device_params()
         sampler = self._sampler(self.batch_size)
         sf = jnp.float32(self.scale_factor)
         outs = []
