@@ -1,8 +1,17 @@
 """Fused GN+SiLU+conv3 Pallas kernel vs XLA, at the UNet's real shapes.
 
-VERDICT r2 item 7 measurement gate. Shapes: the diffusion UNet's three
-levels at the sampling batch (64) and the training batch (256); bf16
-activations/weights, fp32 stats and accumulation in both contenders.
+CAUTION — this microbench is NOT the arbiter and its XLA column is NOT
+representative: any in-one-jit repetition harness (output->input chains
+or scans over independent slices alike) slows the XLA chain >10x vs its
+own dispatch-pipelined floor (scan-boundary relayouts), while single
+dispatches sit at the relay's ~0.12 ms floor. It is kept only to measure
+the Pallas kernel's own per-op device time. The keep-or-reject verdict
+comes from the end-to-end A/B (benches/ab_fused_resblock.py): XLA wins
+56.9 vs 37-40 windows/s (BASELINE.md round-3).
+
+Shapes: the diffusion UNet's three levels at the sampling batch (64) and
+the training batch (256); bf16 activations/weights, fp32 stats and
+accumulation in both contenders.
 
 Usage: python benches/bench_fused_resblock.py
 """
@@ -19,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from sleepgen.pallas_kernels.fused_resblock import (fused_gn_silu_conv3,
+                                                    fused_gn_silu_conv3_tiled,
                                                     gn_silu_conv3_reference)
 
 SHAPES = [
@@ -78,6 +88,7 @@ def main():
             lambda xi, s, bi, wi, bbi, gi:
                 gn_silu_conv3_reference(xi, s, bi, wi, bbi, num_groups=gi))
         chain_pal = make_chain(fused_gn_silu_conv3)
+        chain_til = make_chain(fused_gn_silu_conv3_tiled)
 
         def bench(run):
             out = run(xs)
@@ -90,11 +101,12 @@ def main():
 
         t_x = bench(chain_xla)
         t_p = bench(chain_pal)
+        t_t = bench(chain_til)
         print(json.dumps({
             "shape": [b, l, cin, cout], "groups": g,
-            "xla_ms": round(t_x * 1e3, 4),
+            "xla_in_scan_ms": round(t_x * 1e3, 4),
             "pallas_ms": round(t_p * 1e3, 4),
-            "pallas_vs_xla": round(t_x / t_p, 2),
+            "pallas_tiled_ms": round(t_t * 1e3, 4),
         }), flush=True)
 
 

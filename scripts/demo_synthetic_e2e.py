@@ -55,6 +55,13 @@ def main():
     p.add_argument("--sample_steps", type=int, default=200)
     p.add_argument("--sample_batch", type=int, default=64,
                    help="seed batch (64 = v5e optimum, BASELINE.md r3)")
+    p.add_argument("--spe", action="store_true",
+                   help="train the AEKL with the Jukebox spectral loss "
+                        "(the reference's --spe spectral axis)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help=">0: train the LDM with an EMA of the UNet params "
+                        "and sample from it (beyond-parity knob; the "
+                        "checkpointed best/final params become the EMA)")
     args = p.parse_args()
 
     from sleepgen.config import Config
@@ -83,6 +90,8 @@ def main():
     cfg.aekl.num_channels = [2, 2, 4] if args.small else [32, 32, 64]
     cfg.aekl.latent_channels = args.latent_channels
     cfg.fast_train_math = bool(args.fast_train_math)
+    cfg.spectral = bool(args.spe)
+    cfg.diffusion.ema_decay = args.ema_decay
     if args.small:
         cfg.unet.model_channels = 32
     cfg.losses.kl_weight = 1e-9
@@ -258,6 +267,8 @@ def main():
         "fid_test_vs_test_floor": fid_floor,
         "psd_log_correlation": psd_corr,
         "fast_train_math": bool(args.fast_train_math),
+        "spectral": bool(args.spe),
+        "ema_decay": args.ema_decay,
         "sampler": ("ddim" if args.sampler == "both" else args.sampler)
                    + f"-{args.sample_steps}",
         "wall_clock_sec": round(time.time() - t_start, 1),
