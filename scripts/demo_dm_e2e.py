@@ -22,6 +22,9 @@ def main():
     p.add_argument("--out", type=str, default="/tmp/sleepgen_demo_dm")
     p.add_argument("--epochs", type=int, default=1000)
     p.add_argument("--n_samples", type=int, default=64)
+    p.add_argument("--strict_train_math", action="store_true",
+                   help="disable config.fast_train_math for the DM step "
+                        "(A/B against the round-3 default)")
     args = p.parse_args()
 
     from sleepgen.config import Config
@@ -44,6 +47,8 @@ def main():
     tpu_contact()
 
     cfg = Config()
+    if args.strict_train_math:
+        cfg.fast_train_math = False
     cfg.train.output_dir = str(out)
     cfg.train.batch_size = 128
     cfg.train.n_epochs = args.epochs
@@ -97,6 +102,7 @@ def main():
 
     report = {"dm_best_val_loss": res.best_loss, "psd_log_correlation": corr,
               "ms_ssim_synth_pairs": pair,
+              "fast_train_math": bool(cfg.fast_train_math),
               "wall_clock_sec": round(time.time() - t0, 1)}
     (out / "report.json").write_text(json.dumps(report, indent=1))
     print(json.dumps(report, indent=1))
