@@ -13,6 +13,11 @@ gets a 200-entry table stepped 200 times (ratio 1, final alpha_cumprod
 ~0.11 instead of ~1e-5) — a very different trajectory. We replicate both
 semantics: ``--num_inference_steps`` = table length, ``--num_ddim_steps``
 = loop length (default 200, clamped to the table length).
+
+Beyond parity: for class-conditional checkpoints (``config.unet.
+num_classes>0`` — a path the reference's UNet declares but never trains,
+``src/models/unet.py:379-380``), ``--stage k`` samples stage ``k``; the
+``(seed, stage)`` pair fully determines each sample.
 """
 from __future__ import annotations
 
@@ -34,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spe", type=str, default="no-spectral")
     p.add_argument("--type_dataset", type=str, default="")
     p.add_argument("--no_psd", action="store_true")
+    p.add_argument("--stage", type=int, default=None,
+                   help="sleep-stage label for class-conditional checkpoints "
+                        "(config.unet.num_classes>0); artifacts land in a "
+                        "stage-suffixed directory. Omit for unconditional.")
     return p
 
 
@@ -75,10 +84,21 @@ def main(argv=None):
     cfg.diffusion.num_inference_steps = num_ddim_steps
     signal_len = cfg.unet.image_size
 
+    conditional = cfg.unet.num_classes > 0
+    if conditional and args.stage is None:
+        raise SystemExit(
+            f"checkpoint is class-conditional (num_classes="
+            f"{cfg.unet.num_classes}): pass --stage 0..{cfg.unet.num_classes - 1}")
+    if not conditional and args.stage is not None:
+        raise SystemExit("--stage given but the checkpoint is unconditional "
+                         "(config.unet.num_classes=0)")
+
     unet = build_unet(cfg, 1, 1, jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
     x0 = jnp.zeros((2, signal_len, 1))
-    template = {"params": jax.device_get(
-        unet.init(jax.random.PRNGKey(0), x0, jnp.zeros((2,), jnp.int32))["params"])}
+    init_args = (jax.random.PRNGKey(0), x0, jnp.zeros((2,), jnp.int32))
+    if conditional:
+        init_args += (jnp.zeros((2,), jnp.int32),)
+    template = {"params": jax.device_get(unet.init(*init_args)["params"])}
     ckpt = CheckpointManager(args.diffusion_path)
     best = ckpt.restore_best(template)
     ckpt.close()
@@ -90,15 +110,18 @@ def main(argv=None):
     @jax.jit
     def sample(params, base_key, seeds):
         x_T = seed_noise(base_key, seeds, (signal_len, 1))
+        y = (jnp.full((seeds.shape[0],), args.stage, jnp.int32)
+             if conditional else None)
 
         def model_fn(x, t):
-            return unet.apply({"params": params}, x, t)
+            return unet.apply({"params": params}, x, t, y)
 
         x = ddim_sample_loop(model_fn, sched, x_T, num_ddim_steps)
         return x[:, BORDER_PAD:-BORDER_PAD, :]
 
     type_dataset = args.type_dataset or cfg.dataset
-    out = Path(args.output_dir) / f"samples_ddpm_{args.spe}_{type_dataset}"
+    suffix = f"_stage{args.stage}" if conditional else ""
+    out = Path(args.output_dir) / f"samples_ddpm_{args.spe}_{type_dataset}{suffix}"
     base_key = jax.random.PRNGKey(0)
     all_seeds = np.arange(args.start_seed, args.stop_seed)
     for i in range(0, len(all_seeds), args.batch_size):

@@ -114,6 +114,12 @@ class UNetConfig:
     # >0: blockwise (online-softmax) attention when the attention length
     # exceeds this — enables multi-minute windows (beyond-parity)
     kv_block_size: int = 0
+    # >0: class-conditional diffusion — a label embedding added to the
+    # time embedding (the reference's unet.py:379-380/531-533 carries the
+    # field but never trains it; sleepgen wires it end-to-end: labeled
+    # batches in train_dm, label-closured samplers, decode-harness gate).
+    # 0 (default) is the unconditional reference graph, param tree unchanged.
+    num_classes: int = 0
 
 
 @dataclass

@@ -221,3 +221,55 @@ def make_synthetic_staged(
         ys.append(y)
         rids.append(np.full(len(y), rec))
     return np.concatenate(xs), np.concatenate(ys), np.concatenate(rids)
+
+
+class LabeledEpochDataset:
+    """Pre-cut labeled 30 s epochs for class-conditional diffusion.
+
+    Where :class:`~sleepgen.data.dataset.WindowDataset` samples random
+    windows from whole recordings (the unconditional contract of the
+    reference's dataset.py), conditional generation trains on the
+    stage-aligned epochs themselves: windows (N, 3000, C) + labels (N,).
+    ``epoch_batches`` yields ``(x_padded, y)`` tuples with the same
+    3000->3072 border pad the unconditional pipeline applies
+    (transforms.BORDER_PAD), so the same UNet geometry serves both.
+    """
+
+    def __init__(self, windows: np.ndarray, labels: np.ndarray,
+                 pad: int | None = None):
+        from sleepgen.data import transforms as T
+
+        assert len(windows) == len(labels)
+        if windows.ndim == 2:
+            windows = windows[..., None]
+        self.pad = T.BORDER_PAD if pad is None else pad
+        self.windows = np.pad(
+            windows.astype(np.float32),
+            ((0, 0), (self.pad, self.pad), (0, 0)), mode="edge")
+        self.labels = labels.astype(np.int32)
+
+    def __len__(self) -> int:
+        return len(self.windows)
+
+    @property
+    def padded_window(self) -> int:
+        return self.windows.shape[1]
+
+    @property
+    def num_classes(self) -> int:
+        return int(self.labels.max()) + 1
+
+    def epoch_batches(self, batch_size: int, rng: np.random.Generator,
+                      shuffle: bool = True, pad_multiple: int = 1):
+        idx = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(idx)
+        for i in range(0, len(idx), batch_size):
+            sel = idx[i:i + batch_size]
+            x, y = self.windows[sel], self.labels[sel]
+            if pad_multiple > 1:
+                from sleepgen.parallel import pad_to_multiple
+
+                x = pad_to_multiple(x, pad_multiple)
+                y = pad_to_multiple(y, pad_multiple)
+            yield x, y

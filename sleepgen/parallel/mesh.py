@@ -95,6 +95,12 @@ def prefetch_to_device(iterator, mesh: Mesh, size: int = 2, dtype=None):
     sh = batch_sharding(mesh)
 
     def put(batch):
+        if isinstance(batch, tuple):
+            # labeled batch (x, y, ...): dtype applies to x only; labels
+            # keep their integer dtype. All elements share the batch axis.
+            head = jnp.asarray(batch[0], dtype) if dtype is not None else jnp.asarray(batch[0])
+            rest = tuple(jnp.asarray(b) for b in batch[1:])
+            return tuple(jax.device_put(a, sh) for a in (head, *rest))
         arr = jnp.asarray(batch, dtype) if dtype is not None else jnp.asarray(batch)
         return jax.device_put(arr, sh)
 

@@ -82,3 +82,29 @@ def ddpm_sample_loop(
 
     (x, _), _ = jax.lax.scan(body, (x_T, rng), ts)
     return x
+
+
+def sample_dm_conditional(
+    unet,
+    params,
+    sched,
+    labels: jnp.ndarray,
+    base_key: jax.Array,
+    seeds: jnp.ndarray,
+    window: int,
+    num_steps: int = 200,
+):
+    """Class-conditional signal-space sampling (beyond-parity path).
+
+    One DDIM scan over ``num_steps`` with the label batch closed over the
+    model fn — the loops themselves stay condition-agnostic. ``labels``
+    is (B,) int32 aligned with ``seeds``; per-seed noise keeps the
+    reference's seed determinism contract (sample_trials.py:150), so
+    ``(seed, label)`` fully determines each sample.
+    """
+    x_T = seed_noise(base_key, seeds, (window, 1))
+
+    def model_fn(x, t):
+        return unet.apply({"params": params}, x, t, labels)
+
+    return ddim_sample_loop(model_fn, sched, x_T, num_steps)

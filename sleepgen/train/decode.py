@@ -52,6 +52,10 @@ class DecodeResult:
     history: list
     confusion: np.ndarray
     params: Any
+    # classify new windows with the trained (final-epoch) decoder — used by
+    # the conditional-generation gate (scripts/demo_conditional.py) to
+    # check sampled windows against their requested stage labels
+    predict: Any = None
 
 
 def train_decoder(
@@ -146,4 +150,4 @@ def train_decoder(
         best = max(best, vacc)
 
     cm = confusion_matrix(y_valid, predict(x_valid), n_classes)
-    return DecodeResult(best, history, cm, params)
+    return DecodeResult(best, history, cm, params, predict)

@@ -32,36 +32,43 @@ from sleepgen.utils import CheckpointManager, MetricsLogger, setup_run_dir
 DM_SPECTRAL_WEIGHT = 1e-6  # train_pure_ldm.py:158
 
 
-def make_dm_eval_step(unet, sched):
-    """Validation loss (eval_diffusion parity, training_diffusion.py:166-231)."""
+def make_dm_eval_step(unet, sched, conditional: bool = False):
+    """Validation loss (eval_diffusion parity, training_diffusion.py:166-231).
+
+    ``conditional``: batch is ``(x, y)`` and y feeds the UNet's label
+    embedding (beyond-parity class-conditional path, config.unet.num_classes).
+    """
 
     @jax.jit
     def eval_step(params, batch, rng):
+        x, y = batch if conditional else (batch, None)
         k_t, k_noise = jax.random.split(rng)
-        x = batch.astype(jnp.float32)
+        x = x.astype(jnp.float32)
         t = jax.random.randint(k_t, (x.shape[0],), 0, sched.num_timesteps)
         noise = jax.random.normal(k_noise, x.shape, jnp.float32)
         noisy = sched.add_noise(x, noise, t)
         target = sched.velocity(x, noise, t) if sched.prediction_type == "v_prediction" else noise
-        pred = unet.apply({"params": params}, noisy, t).astype(jnp.float32)
+        pred = unet.apply({"params": params}, noisy, t, y).astype(jnp.float32)
         # per-sample MSE so padded loader rows can be trimmed host-side
         return jnp.mean((pred - target) ** 2, axis=tuple(range(1, x.ndim)))
 
     return eval_step
 
 
-def make_dm_train_step(unet, sched, opt, spectral: bool):
-    def train_step(state: DiffusionState, batch: jnp.ndarray, rng: jax.Array):
+def make_dm_train_step(unet, sched, opt, spectral: bool,
+                       conditional: bool = False):
+    def train_step(state: DiffusionState, batch, rng: jax.Array):
+        x, y = batch if conditional else (batch, None)
         step_rng = jax.random.fold_in(rng, state.step)
         k_t, k_noise = jax.random.split(step_rng)
-        x = batch.astype(jnp.float32)
+        x = x.astype(jnp.float32)
         t = jax.random.randint(k_t, (x.shape[0],), 0, sched.num_timesteps)
         noise = jax.random.normal(k_noise, x.shape, jnp.float32)
         noisy = sched.add_noise(x, noise, t)
         target = sched.velocity(x, noise, t) if sched.prediction_type == "v_prediction" else noise
 
         def loss_fn(params):
-            pred = unet.apply({"params": params}, noisy, t).astype(jnp.float32)
+            pred = unet.apply({"params": params}, noisy, t, y).astype(jnp.float32)
             mse = jnp.mean((pred - target) ** 2)
             spec = jukebox_loss(pred, noise, axis=-2, reduction="sum")
             loss = mse + (DM_SPECTRAL_WEIGHT * spec if spectral else 0.0)
@@ -100,9 +107,12 @@ def train_dm(
         # see config.fast_train_math (+17% LDM step on v5e, same param tree)
         unet = unet.clone(fast_math=True)
 
+    conditional = cfg.unet.num_classes > 0
     window = train_ds.padded_window
     params = unet.init(rng, jnp.zeros((2, window, 1), jnp.float32),
-                       jnp.zeros((2,), jnp.int32))["params"]
+                       jnp.zeros((2,), jnp.int32),
+                       jnp.zeros((2,), jnp.int32) if conditional else None,
+                       )["params"]
     opt = optax.adam(cfg.train.base_lr)
     state = DiffusionState(
         step=jnp.zeros((), jnp.int32),
@@ -117,17 +127,21 @@ def train_dm(
             state = restored
     state = replicate(mesh, state)
 
-    train_step = make_dm_train_step(unet, sched, opt, cfg.spectral)
-    eval_step = make_dm_eval_step(unet, sched)
+    train_step = make_dm_train_step(unet, sched, opt, cfg.spectral,
+                                    conditional=conditional)
+    eval_step = make_dm_eval_step(unet, sched, conditional=conditional)
 
     from sleepgen.data.transforms import to_bcl
     from sleepgen.sample.samplers import ddpm_sample_loop
 
     @jax.jit  # hoisted out of the epoch loop: one compile for the whole run
     def _draw(params, key):
-        x_T = jax.random.normal(key, (1, window, 1))
+        # conditional: one in-training sample per class; unconditional: one
+        n = cfg.unet.num_classes if conditional else 1
+        y = jnp.arange(n, dtype=jnp.int32) if conditional else None
+        x_T = jax.random.normal(key, (n, window, 1))
         return ddpm_sample_loop(
-            lambda x, t: unet.apply({"params": params}, x, t),
+            lambda x, t: unet.apply({"params": params}, x, t, y),
             sched, x_T, key, clip_sample=True)
 
     np_rng = np.random.default_rng(cfg.train.seed)
@@ -159,13 +173,18 @@ def train_dm(
             if (epoch + 1) % (cfg.train.val_interval * 2) == 0:
                 # in-training signal-space sample (util.py:261-285)
                 samp = _draw(state.params, jax.random.fold_in(rng, epoch))
-                np.save(run_dir / f"sample_unconditioned_{epoch}.npy",
+                tag = "conditional" if conditional else "unconditioned"
+                np.save(run_dir / f"sample_{tag}_{epoch}.npy",
                         to_bcl(np.asarray(jax.device_get(samp))))
 
             eval_rng = jax.random.fold_in(rng, epoch)
 
             def _losses(bi, batch):
-                dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
+                if conditional:
+                    dev_batch = (shard_batch(mesh, jnp.asarray(batch[0], dtype)),
+                                 shard_batch(mesh, jnp.asarray(batch[1])))
+                else:
+                    dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
                 return eval_step(state.params, dev_batch,
                                  jax.random.fold_in(eval_rng, bi))
 

@@ -65,6 +65,7 @@ def build_unet(cfg: Config, in_channels: int, out_channels: int, dtype) -> UNet1
         dtype=dtype,
         use_pallas_norm=cfg.use_pallas_norm,
         kv_block_size=u.kv_block_size,
+        num_classes=u.num_classes,
     )
 
 

@@ -1,0 +1,176 @@
+"""Class-conditional diffusion (beyond-parity).
+
+The reference's UNet carries a ``num_classes`` field it never trains
+(``src/models/unet.py:379-380, 531-533``); sleepgen wires the conditional
+path end-to-end: labeled batches in ``train_dm``, a label-closured
+sampler (``sample_dm_conditional``), and a decode-harness quality gate
+(scripts/demo_conditional.py). These tests pin the mechanics on a CPU
+mesh; the quality gate runs on TPU (DEMO_COND_r3.json).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sleepgen.config import Config
+from sleepgen.data.staging import LabeledEpochDataset, make_synthetic_staged
+from sleepgen.sample.samplers import sample_dm_conditional
+from sleepgen.train.train_dm import train_dm
+from sleepgen.train.train_ldm import build_unet, make_schedule
+
+
+N_CLASSES = 5
+WINDOW = 248  # + 2*4 pad = 256 = 4 * 2**(levels-1) for channel_mult [1,2]
+
+
+@pytest.fixture(scope="module")
+def cond_cfg(tmp_path_factory):
+    cfg = Config()
+    cfg.dtype = "float32"
+    cfg.train.batch_size = 16
+    cfg.train.n_epochs = 2
+    cfg.train.val_interval = 1
+    cfg.train.output_dir = str(tmp_path_factory.mktemp("cond_runs"))
+    cfg.unet.model_channels = 16
+    cfg.unet.norm_num_groups = 8
+    cfg.unet.channel_mult = [1, 2]
+    cfg.unet.attention_resolutions = [2]
+    cfg.unet.num_classes = N_CLASSES
+    cfg.unet.image_size = WINDOW + 8
+    cfg.diffusion.num_inference_steps = 4
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def cond_ds():
+    x, y, rids = make_synthetic_staged(n_recordings=4, n_epochs_per_rec=10)
+    # crop the 3000-sample fixture epochs to a CPU-sized window
+    x = x[:, :WINDOW, :]
+    train = LabeledEpochDataset(x[rids < 3], y[rids < 3], pad=4)
+    valid = LabeledEpochDataset(x[rids >= 3], y[rids >= 3], pad=4)
+    return train, valid
+
+
+def test_labeled_epoch_dataset_contract(cond_ds):
+    train, _ = cond_ds
+    assert train.padded_window == WINDOW + 8
+    # the tiny fixture may not draw every one of the 5 stages
+    assert 1 < train.num_classes <= N_CLASSES
+    rng = np.random.default_rng(0)
+    xb, yb = next(train.epoch_batches(8, rng, pad_multiple=8))
+    assert xb.shape == (8, WINDOW + 8, 1) and xb.dtype == np.float32
+    assert yb.shape == (8,) and yb.dtype == np.int32
+    # pad_multiple pads labels alongside windows
+    xb2, yb2 = next(train.epoch_batches(5, rng, pad_multiple=8))
+    assert xb2.shape[0] == 8 and yb2.shape[0] == 8
+
+
+def test_conditional_train_dm_end_to_end(cond_cfg, cond_ds):
+    """train_dm with num_classes>0: labeled batches, finite losses,
+    label_emb parameters created, checkpoints written."""
+    train, valid = cond_ds
+    res = train_dm(cond_cfg, train, valid, run_name="cond_dm")
+    assert np.isfinite(res.best_loss)
+    assert not res.stopped_on_nan
+
+    from sleepgen.utils import CheckpointManager
+
+    unet = build_unet(cond_cfg, 1, 1, jnp.float32)
+    tpl = {"params": jax.device_get(unet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, train.padded_window, 1), jnp.float32),
+        jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), jnp.int32)))["params"]}
+    assert "label_emb" in tpl["params"], "conditional init must create the embedding"
+    ck = CheckpointManager(res.run_dir)
+    best = ck.restore_best(tpl, name="final_model")
+    ck.close()
+    assert best is not None and "label_emb" in best["params"]
+
+
+def test_conditioning_changes_samples_and_is_seed_deterministic(cond_cfg):
+    unet = build_unet(cond_cfg, 1, 1, jnp.float32)
+    window = WINDOW + 8
+    params = unet.init(jax.random.PRNGKey(1),
+                       jnp.zeros((2, window, 1), jnp.float32),
+                       jnp.zeros((2,), jnp.int32),
+                       jnp.zeros((2,), jnp.int32))["params"]
+    # the output conv is zero-init (diffusion convention), which makes the
+    # untrained UNet label-independent — perturb every leaf so the label
+    # embedding actually reaches the output
+    k = jax.random.PRNGKey(2)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(k, len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.01 * jax.random.normal(kk, l.shape, l.dtype)
+                  for l, kk in zip(leaves, keys)])
+    sched = make_schedule(cond_cfg)
+    key = jax.random.PRNGKey(0)
+    seeds = jnp.arange(3)
+
+    y0 = jnp.zeros((3,), jnp.int32)
+    y2 = jnp.full((3,), 2, jnp.int32)
+    s0 = sample_dm_conditional(unet, params, sched, y0, key, seeds, window,
+                               num_steps=4)
+    s0b = sample_dm_conditional(unet, params, sched, y0, key, seeds, window,
+                                num_steps=4)
+    s2 = sample_dm_conditional(unet, params, sched, y2, key, seeds, window,
+                               num_steps=4)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s0b))
+    assert not np.allclose(np.asarray(s0), np.asarray(s2)), (
+        "different labels must change samples (even at random init the "
+        "label embedding feeds every resblock)")
+
+
+def test_ddpm_cli_conditional_stage(cond_cfg, tmp_path):
+    """`sample_trials_ddpm --stage k` drives a conditional checkpoint end to
+    end: stage-suffixed artifact dir, per-seed .npy files, and hard errors
+    when --stage disagrees with the checkpoint's num_classes."""
+    from sleepgen.cli.sample_trials_ddpm import main as ddpm_main
+    from sleepgen.utils import CheckpointManager
+
+    window = WINDOW + 8
+    run_dir = tmp_path / "cond_ckpt"
+    run_dir.mkdir()
+    cfg = cond_cfg
+    cfg.unet.image_size = window
+    cfg.to_yaml(run_dir / "config.yaml")
+    unet = build_unet(cfg, 1, 1, jnp.float32)
+    params = unet.init(jax.random.PRNGKey(0),
+                       jnp.zeros((2, window, 1), jnp.float32),
+                       jnp.zeros((2,), jnp.int32),
+                       jnp.zeros((2,), jnp.int32))["params"]
+    ck = CheckpointManager(run_dir)
+    ck.save_best({"params": jax.device_get(params)})
+    ck.close()
+
+    out = tmp_path / "cli_out"
+    ddpm_main(["--output_dir", str(out), "--diffusion_path", str(run_dir),
+               "--stop_seed", "3", "--batch_size", "3",
+               "--num_inference_steps", "8", "--num_ddim_steps", "4",
+               "--stage", "2", "--no_psd"])
+    art = out / "samples_ddpm_no-spectral_edfx_stage2"
+    assert art.is_dir()
+    sig = np.load(art / "sample_0.npy")
+    # the CLI crops the production BORDER_PAD=36 per side (3072->3000
+    # contract), regardless of this test's smaller window
+    assert sig.shape[-1] == window - 72 and np.isfinite(sig).all()
+
+    with pytest.raises(SystemExit):  # conditional ckpt needs --stage
+        ddpm_main(["--output_dir", str(out), "--diffusion_path", str(run_dir),
+                   "--stop_seed", "1", "--no_psd"])
+
+
+def test_unconditional_tree_has_no_label_params():
+    cfg = Config()
+    cfg.unet.model_channels = 16
+    cfg.unet.norm_num_groups = 8
+    cfg.unet.channel_mult = [1, 2]
+    cfg.unet.attention_resolutions = [2]
+    unet = build_unet(cfg, 1, 1, jnp.float32)
+    params = unet.init(jax.random.PRNGKey(0),
+                       jnp.zeros((2, 256, 1), jnp.float32),
+                       jnp.zeros((2,), jnp.int32))["params"]
+    assert "label_emb" not in params, (
+        "num_classes=0 must keep the reference-parity unconditional tree")
