@@ -33,6 +33,10 @@ def main():
     p.add_argument("--n_per_class", type=int, default=64)
     p.add_argument("--decoder_epochs", type=int, default=60)
     p.add_argument("--sample_steps", type=int, default=200)
+    p.add_argument("--cond_dropout", type=float, default=0.0,
+                   help="CFG label-dropout prob during training")
+    p.add_argument("--guidance_scale", type=float, default=1.0,
+                   help="classifier-free guidance scale at sampling")
     args = p.parse_args()
 
     import jax
@@ -70,6 +74,7 @@ def main():
     cfg.train.val_interval = max(args.epochs // 2, 1)
     cfg.unet.image_size = 3072
     cfg.unet.num_classes = 5
+    cfg.train.cond_dropout_prob = args.cond_dropout
 
     print(f"[{time.time()-t0:.0f}s] training conditional DM "
           f"({args.epochs} epochs)...", flush=True)
@@ -96,7 +101,7 @@ def main():
 
     sample_jit = jax.jit(lambda params, yb, seeds: sample_dm_conditional(
         unet, params, sched, yb, jax.random.PRNGKey(0), seeds, window,
-        num_steps=args.sample_steps))
+        num_steps=args.sample_steps, guidance_scale=args.guidance_scale))
     gen, bs = [], 64
     for i in range(0, len(labels), bs):
         yb = jnp.asarray(labels[i:i + bs])
@@ -147,6 +152,8 @@ def main():
         "psd_corr_matrix": psd_corr.round(4).tolist(),
         "n_per_class": args.n_per_class,
         "epochs": args.epochs,
+        "cond_dropout": args.cond_dropout,
+        "guidance_scale": args.guidance_scale,
         "wall_clock_sec": round(time.time() - t0, 1),
     }
     (out / "report.json").write_text(json.dumps(report, indent=1))

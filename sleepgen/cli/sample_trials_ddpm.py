@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sleep-stage label for class-conditional checkpoints "
                         "(config.unet.num_classes>0); artifacts land in a "
                         "stage-suffixed directory. Omit for unconditional.")
+    p.add_argument("--guidance_scale", type=float, default=1.0,
+                   help="classifier-free guidance scale (conditional "
+                        "checkpoints trained with train.cond_dropout_prob>0); "
+                        "1.0 = plain conditional sampling")
     return p
 
 
@@ -107,16 +111,22 @@ def main(argv=None):
     if cfg.fast_sampling_math and cfg.dtype == "bfloat16":
         unet = unet.clone(fast_math=True)  # same param tree (layers.py)
 
+    from sleepgen.sample.samplers import sample_dm_conditional
+
     @jax.jit
     def sample(params, base_key, seeds):
-        x_T = seed_noise(base_key, seeds, (signal_len, 1))
-        y = (jnp.full((seeds.shape[0],), args.stage, jnp.int32)
-             if conditional else None)
+        if conditional:
+            y = jnp.full((seeds.shape[0],), args.stage, jnp.int32)
+            x = sample_dm_conditional(
+                unet, params, sched, y, base_key, seeds, signal_len,
+                num_steps=num_ddim_steps, guidance_scale=args.guidance_scale)
+        else:
+            x_T = seed_noise(base_key, seeds, (signal_len, 1))
 
-        def model_fn(x, t):
-            return unet.apply({"params": params}, x, t, y)
+            def model_fn(x, t):
+                return unet.apply({"params": params}, x, t)
 
-        x = ddim_sample_loop(model_fn, sched, x_T, num_ddim_steps)
+            x = ddim_sample_loop(model_fn, sched, x_T, num_ddim_steps)
         return x[:, BORDER_PAD:-BORDER_PAD, :]
 
     type_dataset = args.type_dataset or cfg.dataset

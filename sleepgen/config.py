@@ -58,6 +58,11 @@ class TrainConfig:
     experiment: str = "AEKL"
     base_lr: float = 1e-4
     save_every: int = 50
+    # class-conditional training only (unet.num_classes>0): probability of
+    # replacing a batch label with the CFG null label (-1) so the one
+    # network also learns the unconditional score — enables
+    # classifier-free guidance at sampling time (guidance_scale>1).
+    cond_dropout_prob: float = 0.0
 
 
 @dataclass

@@ -203,10 +203,17 @@ class UNet1d(nn.Module):
         emb = nn.Dense(4 * mc, dtype=self.dtype, param_dtype=jnp.float32,
                        name="time_dense_2")(nn.silu(emb))
         if self.num_classes:
-            # label embedding added to the time embedding (unet.py:531-533)
+            # label embedding added to the time embedding (unet.py:531-533).
+            # y < 0 is the CFG null label: its embedding contribution is
+            # masked to zero (same param tree as a plain conditional model),
+            # so one network serves both the conditional and unconditional
+            # branches of classifier-free guidance.
             assert y is not None, "class-conditional model needs labels y"
-            emb = emb + nn.Embed(self.num_classes, 4 * mc, dtype=self.dtype,
-                                 param_dtype=jnp.float32, name="label_emb")(y)
+            l_emb = nn.Embed(self.num_classes, 4 * mc, dtype=self.dtype,
+                             param_dtype=jnp.float32,
+                             name="label_emb")(jnp.maximum(y, 0))
+            emb = emb + jnp.where((y >= 0)[:, None], l_emb,
+                                  jnp.zeros_like(l_emb))
 
         def res(h, e, out_ch, name, **kw):
             return TimestepResBlock(

@@ -93,6 +93,7 @@ def sample_dm_conditional(
     seeds: jnp.ndarray,
     window: int,
     num_steps: int = 200,
+    guidance_scale: float = 1.0,
 ):
     """Class-conditional signal-space sampling (beyond-parity path).
 
@@ -100,11 +101,28 @@ def sample_dm_conditional(
     model fn — the loops themselves stay condition-agnostic. ``labels``
     is (B,) int32 aligned with ``seeds``; per-seed noise keeps the
     reference's seed determinism contract (sample_trials.py:150), so
-    ``(seed, label)`` fully determines each sample.
+    ``(seed, label, guidance_scale)`` fully determines each sample.
+
+    ``guidance_scale > 1`` applies classifier-free guidance:
+    ``v = v_null + s * (v_cond - v_null)`` with the null branch run as
+    labels = -1 (zeroed embedding). Both branches go through the UNet in
+    ONE 2B-batch apply — on TPU that doubles the MXU work per step but
+    keeps a single fused dispatch instead of two half-utilized ones.
+    Requires a model trained with ``train.cond_dropout_prob > 0``.
     """
     x_T = seed_noise(base_key, seeds, (window, 1))
 
-    def model_fn(x, t):
-        return unet.apply({"params": params}, x, t, labels)
+    if guidance_scale == 1.0:
+        def model_fn(x, t):
+            return unet.apply({"params": params}, x, t, labels)
+    else:
+        y2 = jnp.concatenate([labels, jnp.full_like(labels, -1)])
+
+        def model_fn(x, t):
+            x2 = jnp.concatenate([x, x])
+            t2 = jnp.concatenate([t, t]) if t.ndim else t
+            v2 = unet.apply({"params": params}, x2, t2, y2)
+            v_c, v_n = jnp.split(v2, 2)
+            return v_n + guidance_scale * (v_c - v_n)
 
     return ddim_sample_loop(model_fn, sched, x_T, num_steps)

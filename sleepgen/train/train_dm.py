@@ -56,11 +56,18 @@ def make_dm_eval_step(unet, sched, conditional: bool = False):
 
 
 def make_dm_train_step(unet, sched, opt, spectral: bool,
-                       conditional: bool = False):
+                       conditional: bool = False,
+                       cond_dropout_prob: float = 0.0):
     def train_step(state: DiffusionState, batch, rng: jax.Array):
         x, y = batch if conditional else (batch, None)
         step_rng = jax.random.fold_in(rng, state.step)
-        k_t, k_noise = jax.random.split(step_rng)
+        k_t, k_noise, k_drop = jax.random.split(step_rng, 3)
+        if conditional and cond_dropout_prob > 0:
+            # CFG label dropout: the null label (-1) zeroes the embedding
+            # contribution inside the UNet, training the unconditional
+            # score with the same parameters
+            drop = jax.random.bernoulli(k_drop, cond_dropout_prob, y.shape)
+            y = jnp.where(drop, -1, y)
         x = x.astype(jnp.float32)
         t = jax.random.randint(k_t, (x.shape[0],), 0, sched.num_timesteps)
         noise = jax.random.normal(k_noise, x.shape, jnp.float32)
@@ -128,7 +135,8 @@ def train_dm(
     state = replicate(mesh, state)
 
     train_step = make_dm_train_step(unet, sched, opt, cfg.spectral,
-                                    conditional=conditional)
+                                    conditional=conditional,
+                                    cond_dropout_prob=cfg.train.cond_dropout_prob)
     eval_step = make_dm_eval_step(unet, sched, conditional=conditional)
 
     from sleepgen.data.transforms import to_bcl

@@ -162,6 +162,97 @@ def test_ddpm_cli_conditional_stage(cond_cfg, tmp_path):
                    "--stop_seed", "1", "--no_psd"])
 
 
+def _perturbed_params(unet, window, key=2):
+    params = unet.init(jax.random.PRNGKey(1),
+                       jnp.zeros((2, window, 1), jnp.float32),
+                       jnp.zeros((2,), jnp.int32),
+                       jnp.zeros((2,), jnp.int32))["params"]
+    # zero-init output conv makes the untrained UNet label-independent;
+    # perturb every leaf so conditioning reaches the output
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(key), len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef, [l + 0.01 * jax.random.normal(kk, l.shape, l.dtype)
+                  for l, kk in zip(leaves, keys)])
+
+
+def test_cfg_null_label_masks_embedding(cond_cfg):
+    """y = -1 is the CFG null label: the label_emb table must not reach the
+    output at all — scrambling it leaves the null output bitwise unchanged,
+    while real labels see the change."""
+    unet = build_unet(cond_cfg, 1, 1, jnp.float32)
+    window = WINDOW + 8
+    params = _perturbed_params(unet, window)
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, window, 1))
+    t = jnp.array([5, 50, 500], jnp.int32)
+
+    y_null = jnp.full((3,), -1, jnp.int32)
+    out_null = unet.apply({"params": params}, x, t, y_null)
+    out_c = unet.apply({"params": params}, x, t, jnp.zeros((3,), jnp.int32))
+    assert not np.allclose(np.asarray(out_null), np.asarray(out_c))
+
+    scrambled = jax.tree_util.tree_map_with_path(
+        lambda p, l: l + 7.0 if "label_emb" in str(p) else l, params)
+    out_null2 = unet.apply({"params": scrambled}, x, t, y_null)
+    out_c2 = unet.apply({"params": scrambled}, x, t, jnp.zeros((3,), jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out_null), np.asarray(out_null2))
+    assert not np.allclose(np.asarray(out_c), np.asarray(out_c2))
+
+
+def test_cfg_guided_sampling_deterministic_and_distinct(cond_cfg):
+    unet = build_unet(cond_cfg, 1, 1, jnp.float32)
+    window = WINDOW + 8
+    params = _perturbed_params(unet, window)
+    sched = make_schedule(cond_cfg)
+    key, seeds = jax.random.PRNGKey(0), jnp.arange(2)
+    y = jnp.array([1, 3], jnp.int32)
+
+    plain = sample_dm_conditional(unet, params, sched, y, key, seeds, window,
+                                  num_steps=4)
+    g3 = sample_dm_conditional(unet, params, sched, y, key, seeds, window,
+                               num_steps=4, guidance_scale=3.0)
+    g3b = sample_dm_conditional(unet, params, sched, y, key, seeds, window,
+                                num_steps=4, guidance_scale=3.0)
+    np.testing.assert_array_equal(np.asarray(g3), np.asarray(g3b))
+    assert not np.allclose(np.asarray(plain), np.asarray(g3))
+    assert np.isfinite(np.asarray(g3)).all()
+
+
+def test_cond_dropout_train_step(cond_cfg):
+    """cond_dropout_prob > 0 trains with dropped (-1) labels: step runs,
+    loss finite, and the dropout actually changes the loss vs p=0."""
+    import optax
+
+    from sleepgen.train.train_dm import make_dm_train_step
+    from sleepgen.train.train_ldm import DiffusionState
+
+    unet = build_unet(cond_cfg, 1, 1, jnp.float32)
+    window = WINDOW + 8
+    params = _perturbed_params(unet, window)
+    sched = make_schedule(cond_cfg)
+    opt = optax.adam(1e-4)
+
+    def state():
+        # fresh buffers per call: the train step donates its state arg
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        return DiffusionState(step=jnp.zeros((), jnp.int32), params=p,
+                              opt=opt.init(p),
+                              best_loss=jnp.asarray(jnp.inf, jnp.float32),
+                              scale_factor=jnp.asarray(1.0, jnp.float32))
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (8, window, 1))
+    y = jnp.arange(8, dtype=jnp.int32) % N_CLASSES
+    rng = jax.random.PRNGKey(5)
+    step_p0 = make_dm_train_step(unet, sched, opt, False, conditional=True)
+    step_p9 = make_dm_train_step(unet, sched, opt, False, conditional=True,
+                                 cond_dropout_prob=0.9)
+    _, m0 = step_p0(state(), (x, y), rng)
+    _, m9 = step_p9(state(), (x, y), rng)
+    l0, l9 = float(m0["loss"]), float(m9["loss"])
+    assert np.isfinite(l0) and np.isfinite(l9)
+    assert l0 != l9, "p=0.9 must route most labels through the null branch"
+
+
 def test_unconditional_tree_has_no_label_params():
     cfg = Config()
     cfg.unet.model_channels = 16
