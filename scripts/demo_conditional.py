@@ -33,10 +33,12 @@ def main():
     p.add_argument("--n_per_class", type=int, default=64)
     p.add_argument("--decoder_epochs", type=int, default=60)
     p.add_argument("--sample_steps", type=int, default=200)
-    p.add_argument("--cond_dropout", type=float, default=0.0,
-                   help="CFG label-dropout prob during training")
-    p.add_argument("--guidance_scale", type=float, default=1.0,
-                   help="classifier-free guidance scale at sampling")
+    p.add_argument("--cond_dropout", type=float, default=0.15,
+                   help="CFG label-dropout prob during training "
+                        "(0 disables the guided evaluation)")
+    p.add_argument("--guidance_scale", type=float, default=2.0,
+                   help="classifier-free guidance scale for the guided "
+                        "evaluation (plain conditional always reported)")
     args = p.parse_args()
 
     import jax
@@ -95,22 +97,6 @@ def main():
     sched = make_schedule(cfg)
 
     labels = np.repeat(np.arange(5, dtype=np.int32), args.n_per_class)
-    print(f"[{time.time()-t0:.0f}s] sampling {len(labels)} windows "
-          f"(DDIM-{args.sample_steps}, {args.n_per_class}/class)...",
-          flush=True)
-
-    sample_jit = jax.jit(lambda params, yb, seeds: sample_dm_conditional(
-        unet, params, sched, yb, jax.random.PRNGKey(0), seeds, window,
-        num_steps=args.sample_steps, guidance_scale=args.guidance_scale))
-    gen, bs = [], 64
-    for i in range(0, len(labels), bs):
-        yb = jnp.asarray(labels[i:i + bs])
-        seeds = jnp.arange(i, i + len(yb))
-        gen.append(np.asarray(jax.device_get(
-            sample_jit(best["params"], yb, seeds)), np.float32))
-    gen = np.concatenate(gen)[:, 36:-36, :]  # crop pad -> 3000, like eval
-    np.save(out / "generated_windows.npy", gen)
-    np.save(out / "generated_labels.npy", labels)
 
     # decoder gate: variant b trained on REAL train epochs
     print(f"[{time.time()-t0:.0f}s] training variant-b decoder on real "
@@ -122,38 +108,66 @@ def main():
     print(f"[{time.time()-t0:.0f}s] decoder real-valid bal acc: "
           f"{dec.best_valid_bal_acc:.4f}", flush=True)
 
-    pred = dec.predict(gen)
-    cond_acc = balanced_accuracy(labels, pred, 5)
-    cm = confusion_matrix(labels, pred, 5)
-    np.save(out / "conditional_confusion.npy", cm)
-
-    # per-class PSD-correlation matrix: generated class i vs real class j
-    psd_corr = np.zeros((5, 5))
     real_psd = []
     for c in range(5):
         pr, _ = welch_psd(jnp.asarray(x[va_m][y[va_m] == c][..., 0]), fmax=18.0)
         real_psd.append(np.log10(np.asarray(pr).mean(0) + 1e-30))
-    for i in range(5):
-        pg, _ = welch_psd(jnp.asarray(gen[labels == i][..., 0]), fmax=18.0)
-        lg = np.log10(np.asarray(pg).mean(0) + 1e-30)
-        for j in range(5):
-            psd_corr[i, j] = float(np.corrcoef(lg, real_psd[j])[0, 1])
-    diag = float(np.mean(np.diag(psd_corr)))
-    off = float((psd_corr.sum() - np.trace(psd_corr)) / 20.0)
+
+    def evaluate(guidance: float) -> dict:
+        """Sample all stages at one guidance scale and gate with the
+        real-data decoder + per-class PSD-correlation matrix."""
+        print(f"[{time.time()-t0:.0f}s] sampling {len(labels)} windows "
+              f"(DDIM-{args.sample_steps}, {args.n_per_class}/class, "
+              f"guidance {guidance})...", flush=True)
+        sample_jit = jax.jit(lambda params, yb, seeds: sample_dm_conditional(
+            unet, params, sched, yb, jax.random.PRNGKey(0), seeds, window,
+            num_steps=args.sample_steps, guidance_scale=guidance))
+        gen, bs = [], 64
+        for i in range(0, len(labels), bs):
+            yb = jnp.asarray(labels[i:i + bs])
+            seeds = jnp.arange(i, i + len(yb))
+            gen.append(np.asarray(jax.device_get(
+                sample_jit(best["params"], yb, seeds)), np.float32))
+        gen = np.concatenate(gen)[:, 36:-36, :]  # crop pad -> 3000, like eval
+        tag = f"g{guidance:g}"
+        np.save(out / f"generated_windows_{tag}.npy", gen)
+
+        pred = dec.predict(gen)
+        cm = confusion_matrix(labels, pred, 5)
+        np.save(out / f"conditional_confusion_{tag}.npy", cm)
+
+        # per-class PSD-correlation: generated class i vs real class j —
+        # diagonal dominance = class-specific spectra, not decoder-fooling
+        psd_corr = np.zeros((5, 5))
+        for i in range(5):
+            pg, _ = welch_psd(jnp.asarray(gen[labels == i][..., 0]), fmax=18.0)
+            lg = np.log10(np.asarray(pg).mean(0) + 1e-30)
+            for j in range(5):
+                psd_corr[i, j] = float(np.corrcoef(lg, real_psd[j])[0, 1])
+        return {
+            "conditional_fidelity_bal_acc": balanced_accuracy(labels, pred, 5),
+            "per_class_recall": [float(cm[i, i] / max(cm[i].sum(), 1))
+                                 for i in range(5)],
+            "psd_corr_diag_mean": float(np.mean(np.diag(psd_corr))),
+            "psd_corr_offdiag_mean": float(
+                (psd_corr.sum() - np.trace(psd_corr)) / 20.0),
+            "psd_corr_matrix": psd_corr.round(4).tolist(),
+        }
+
+    # guidance sweep: plain conditional always; CFG scale only when the
+    # model trained its null branch (cond_dropout > 0)
+    scales = [1.0]
+    if args.cond_dropout > 0 and args.guidance_scale != 1.0:
+        scales.append(args.guidance_scale)
+    results = {f"guidance_{s:g}": evaluate(s) for s in scales}
 
     report = {
         "cond_dm_best_val_loss": res.best_loss,
         "decoder_real_valid_bal_acc": dec.best_valid_bal_acc,
-        "conditional_fidelity_bal_acc": cond_acc,
-        "per_class_recall": [float(cm[i, i] / max(cm[i].sum(), 1))
-                             for i in range(5)],
-        "psd_corr_diag_mean": diag,
-        "psd_corr_offdiag_mean": off,
-        "psd_corr_matrix": psd_corr.round(4).tolist(),
+        **results,
         "n_per_class": args.n_per_class,
         "epochs": args.epochs,
         "cond_dropout": args.cond_dropout,
-        "guidance_scale": args.guidance_scale,
         "wall_clock_sec": round(time.time() - t0, 1),
     }
     (out / "report.json").write_text(json.dumps(report, indent=1))

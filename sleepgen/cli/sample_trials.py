@@ -27,6 +27,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--latent_channels", type=int, default=None)
     p.add_argument("--type_dataset", type=str, default="")
     p.add_argument("--no_psd", action="store_true")
+    p.add_argument("--stage", type=int, default=None,
+                   help="sleep-stage label for class-conditional checkpoints "
+                        "(config.unet.num_classes>0); artifacts land in a "
+                        "stage-suffixed directory. Omit for unconditional.")
+    p.add_argument("--guidance_scale", type=float, default=1.0,
+                   help="classifier-free guidance scale (conditional "
+                        "checkpoints trained with train.cond_dropout_prob>0)")
     return p
 
 
@@ -61,12 +68,20 @@ def main(argv=None):
     stage1_params = ckpt.restore_best(jax.device_get(state0.params_g))
     ckpt.close()
 
+    conditional = cfg.unet.num_classes > 0
+    if conditional and args.stage is None:
+        raise SystemExit(
+            f"checkpoint is class-conditional (num_classes="
+            f"{cfg.unet.num_classes}): pass --stage 0..{cfg.unet.num_classes - 1}")
+
     lc = aekl_cfg.aekl.latent_channels
     unet = build_unet(cfg, lc, lc, jnp.float32)
     z0 = jnp.zeros((2, cfg.unet.image_size, lc))
+    init_args = (jax.random.PRNGKey(0), z0, jnp.zeros((2,), jnp.int32))
+    if conditional:
+        init_args += (jnp.zeros((2,), jnp.int32),)
     template = {
-        "params": jax.device_get(
-            unet.init(jax.random.PRNGKey(0), z0, jnp.zeros((2,), jnp.int32))["params"]),
+        "params": jax.device_get(unet.init(*init_args)["params"]),
         "scale_factor": jnp.float32(1.0),
     }
     ckpt2 = CheckpointManager(args.diffusion_path)
@@ -75,13 +90,15 @@ def main(argv=None):
 
     # default the artifact-dir suffix from the run's train-time config
     type_dataset = args.type_dataset or cfg.dataset
+    suffix = f"_stage{args.stage}" if conditional else ""
     out = Path(args.output_dir) / (
-        f"samples_ldm_{lc}_{args.spe}_{type_dataset}")
+        f"samples_ldm_{lc}_{args.spe}_{type_dataset}{suffix}")
     sigs = sample_ldm_trials(
         cfg, best["params"], stage1_params, float(best["scale_factor"]), out,
         start_seed=args.start_seed, stop_seed=args.stop_seed,
         batch_size=args.batch_size, aekl_cfg=aekl_cfg,
-        compute_psd=not args.no_psd)
+        compute_psd=not args.no_psd, stage=args.stage,
+        guidance_scale=args.guidance_scale)
     print(f"wrote {sigs.shape[0]} samples to {out}")
 
 

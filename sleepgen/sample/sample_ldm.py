@@ -47,6 +47,8 @@ def make_ldm_sampler(
     border_pad: int = BORDER_PAD,
     sampler: str = "ddim",
     mesh=None,
+    conditional: bool = False,
+    guidance_scale: float = 1.0,
 ):
     """Returns jitted (unet_params, ae_params, scale_factor, base_key, seeds)
     -> (B, 3000, 1) signals. ``sampler``: "ddim" (reference parity) or
@@ -56,22 +58,42 @@ def make_ldm_sampler(
     (and the output batch) shard over the ``data`` axis, parameters are
     replicated, and XLA runs the whole scan per shard with no collectives
     (per-seed noise comes from ``fold_in``, so samples are bitwise
-    independent of the device count — pinned by tests/test_parallel.py)."""
+    independent of the device count — pinned by tests/test_parallel.py).
+
+    ``conditional``: the sampler takes a trailing ``labels`` (B,) int32
+    argument (sharded alongside seeds under a mesh) and feeds the UNet's
+    class embedding (config.unet.num_classes>0). ``guidance_scale>1``
+    adds classifier-free guidance — the null branch (labels=-1) runs in
+    the same 2B-batch UNet apply per step."""
     if mesh is not None:
         from sleepgen.parallel import batch_sharding, replicated
 
         rep, bat = replicated(mesh), batch_sharding(mesh)
-        jit_kwargs = dict(in_shardings=(rep, rep, rep, rep, bat),
-                          out_shardings=bat)
+        in_sh = (rep, rep, rep, rep, bat) + ((bat,) if conditional else ())
+        jit_kwargs = dict(in_shardings=in_sh, out_shardings=bat)
     else:
         jit_kwargs = {}
 
     @functools.partial(jax.jit, **jit_kwargs)
-    def sample(unet_params, ae_params, scale_factor, base_key, seeds):
+    def sample(unet_params, ae_params, scale_factor, base_key, seeds,
+               labels=None):
         x_T = seed_noise(base_key, seeds, (latent_len, latent_channels))
 
-        def model_fn(x, t):
-            return unet.apply({"params": unet_params}, x, t)
+        if not conditional:
+            def model_fn(x, t):
+                return unet.apply({"params": unet_params}, x, t)
+        elif guidance_scale == 1.0:
+            def model_fn(x, t):
+                return unet.apply({"params": unet_params}, x, t, labels)
+        else:
+            y2 = jnp.concatenate([labels, jnp.full_like(labels, -1)])
+
+            def model_fn(x, t):
+                v2 = unet.apply({"params": unet_params},
+                                jnp.concatenate([x, x]),
+                                jnp.concatenate([t, t]), y2)
+                v_c, v_n = jnp.split(v2, 2)
+                return v_n + guidance_scale * (v_c - v_n)
 
         if sampler == "dpm++2m":
             from sleepgen.diffusion.dpm_solver import dpm_solver_pp_2m_sample_loop
@@ -153,13 +175,17 @@ def sample_ldm_trials(
     border_pad: int = BORDER_PAD,
     quantized: bool = False,
     mesh=None,
+    stage: Optional[int] = None,
+    guidance_scale: float = 1.0,
 ) -> np.ndarray:
     """Generate samples for seeds [start_seed, stop_seed) in device batches.
     Returns all cropped signals (N, 3000, 1). ``quantized=True`` runs the
     UNet convs int8 (sleepgen.nn.quant), converting the fp params.
     ``mesh``: shard each seed batch over the mesh's data axis (the
     data-axis size must divide batch_size); samples are identical to the
-    single-device output."""
+    single-device output. ``stage``: class label for conditional
+    checkpoints (cfg.unet.num_classes>0); ``guidance_scale>1`` adds
+    classifier-free guidance."""
     from sleepgen.train.train_aekl import build_models
     from sleepgen.train.train_ldm import build_unet
 
@@ -185,11 +211,20 @@ def sample_ldm_trials(
     if mesh is not None:
         n_data = mesh.shape["data"]
         assert batch_size % n_data == 0, (batch_size, n_data)
+    conditional = cfg.unet.num_classes > 0
+    if conditional and stage is None:
+        raise ValueError(
+            f"conditional checkpoint (num_classes={cfg.unet.num_classes}): "
+            f"pass stage=0..{cfg.unet.num_classes - 1}")
+    if not conditional and stage is not None:
+        raise ValueError("stage given but cfg.unet.num_classes=0")
     sampler = make_ldm_sampler(unet, ae, sched, latent_len=cfg.unet.image_size,
                                latent_channels=lc,
                                num_inference_steps=cfg.diffusion.num_inference_steps,
                                border_pad=border_pad,
-                               sampler=cfg.diffusion.sampler, mesh=mesh)
+                               sampler=cfg.diffusion.sampler, mesh=mesh,
+                               conditional=conditional,
+                               guidance_scale=guidance_scale)
     base_key = base_key if base_key is not None else jax.random.PRNGKey(0)
     sf = jnp.asarray(scale_factor, jnp.float32)
 
@@ -212,7 +247,13 @@ def sample_ldm_trials(
         # pad to full batch so every device step reuses one compiled shape
         padded = np.concatenate([seeds, np.full(batch_size - len(seeds), seeds[-1])]) \
             if len(seeds) < batch_size else seeds
-        sig = sampler(unet_params, ae_params, sf, base_key, jnp.asarray(padded))
+        if conditional:
+            y = jnp.full((batch_size,), stage, jnp.int32)
+            sig = sampler(unet_params, ae_params, sf, base_key,
+                          jnp.asarray(padded), y)
+        else:
+            sig = sampler(unet_params, ae_params, sf, base_key,
+                          jnp.asarray(padded))
         sig = np.asarray(jax.device_get(sig))[: len(seeds)]
         write_sample_artifacts(output_dir, seeds.tolist(), sig, compute_psd)
         outs.append(sig)

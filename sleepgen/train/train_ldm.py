@@ -86,16 +86,26 @@ def compute_scale_factor(ae: AutoencoderKL, params_g, batch: jnp.ndarray,
 
 
 def make_ldm_train_step(unet: UNet1d, ae: AutoencoderKL, params_g,
-                        sched: NoiseSchedule, opt, ema_decay: float = 0.0):
-    def train_step(state: DiffusionState, batch: jnp.ndarray, rng: jax.Array):
-        step_rng = jax.random.fold_in(rng, state.step)
-        k_enc, k_t, k_noise = jax.random.split(step_rng, 3)
+                        sched: NoiseSchedule, opt, ema_decay: float = 0.0,
+                        conditional: bool = False,
+                        cond_dropout_prob: float = 0.0):
+    """``conditional``: batch is ``(x, y)`` and y feeds the UNet label
+    embedding; ``cond_dropout_prob`` routes labels to the CFG null branch
+    (y = -1, zeroed embedding) so one network learns both scores."""
 
-        z = ae.apply({"params": params_g}, batch, k_enc,
+    def train_step(state: DiffusionState, batch, rng: jax.Array):
+        x, y = batch if conditional else (batch, None)
+        step_rng = jax.random.fold_in(rng, state.step)
+        k_enc, k_t, k_noise, k_drop = jax.random.split(step_rng, 4)
+        if conditional and cond_dropout_prob > 0:
+            drop = jax.random.bernoulli(k_drop, cond_dropout_prob, y.shape)
+            y = jnp.where(drop, -1, y)
+
+        z = ae.apply({"params": params_g}, x, k_enc,
                      method=AutoencoderKL.encode_stage_2_inputs)
         z = jax.lax.stop_gradient(z.astype(jnp.float32)) * state.scale_factor
 
-        t = jax.random.randint(k_t, (batch.shape[0],), 0, sched.num_timesteps)
+        t = jax.random.randint(k_t, (x.shape[0],), 0, sched.num_timesteps)
         noise = jax.random.normal(k_noise, z.shape, jnp.float32)
         noisy = sched.add_noise(z, noise, t)
         if sched.prediction_type == "v_prediction":
@@ -104,7 +114,7 @@ def make_ldm_train_step(unet: UNet1d, ae: AutoencoderKL, params_g,
             target = noise
 
         def loss_fn(params):
-            pred = unet.apply({"params": params}, noisy, t)
+            pred = unet.apply({"params": params}, noisy, t, y)
             return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -121,18 +131,20 @@ def make_ldm_train_step(unet: UNet1d, ae: AutoencoderKL, params_g,
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_ldm_eval_step(unet: UNet1d, ae: AutoencoderKL, params_g, sched: NoiseSchedule):
+def make_ldm_eval_step(unet: UNet1d, ae: AutoencoderKL, params_g,
+                       sched: NoiseSchedule, conditional: bool = False):
     @jax.jit
     def eval_step(params, scale_factor, batch, rng):
+        x, y = batch if conditional else (batch, None)
         k_enc, k_t, k_noise = jax.random.split(rng, 3)
-        z = ae.apply({"params": params_g}, batch, k_enc,
+        z = ae.apply({"params": params_g}, x, k_enc,
                      method=AutoencoderKL.encode_stage_2_inputs)
         z = z.astype(jnp.float32) * scale_factor
-        t = jax.random.randint(k_t, (batch.shape[0],), 0, sched.num_timesteps)
+        t = jax.random.randint(k_t, (x.shape[0],), 0, sched.num_timesteps)
         noise = jax.random.normal(k_noise, z.shape, jnp.float32)
         noisy = sched.add_noise(z, noise, t)
         target = sched.velocity(z, noise, t) if sched.prediction_type == "v_prediction" else noise
-        pred = unet.apply({"params": params}, noisy, t)
+        pred = unet.apply({"params": params}, noisy, t, y)
         # per-sample MSE so padded loader rows can be trimmed host-side
         return jnp.mean((pred.astype(jnp.float32) - target) ** 2,
                         axis=tuple(range(1, noisy.ndim)))
@@ -182,10 +194,13 @@ def train_ldm(
         # tree, fp32 masters/stats — see config.fast_train_math
         unet = unet.clone(fast_math=True)
 
+    conditional = cfg.unet.num_classes > 0
     np_rng = np.random.default_rng(cfg.train.seed)
     n_dev = mesh.devices.size
     first_batch = next(train_ds.epoch_batches(
         cfg.train.batch_size, np_rng, pad_multiple=n_dev))
+    if conditional:
+        first_batch = first_batch[0]  # labeled loader yields (x, y)
     first_batch = shard_batch(mesh, jnp.asarray(first_batch, dtype))
 
     stage1_params = replicate(mesh, stage1_params)
@@ -193,7 +208,9 @@ def train_ldm(
 
     latent_len = first_batch.shape[1] // 2 ** (len(aekl_cfg.aekl.num_channels) - 1)
     z0 = jnp.zeros((2, latent_len, latent_channels), jnp.float32)
-    params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+    params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32),
+                       jnp.zeros((2,), jnp.int32) if conditional else None,
+                       )["params"]
     opt = optax.adam(cfg.train.base_lr)
     ema_decay = cfg.diffusion.ema_decay
     state = DiffusionState(
@@ -213,9 +230,12 @@ def train_ldm(
             state = restored
     state = replicate(mesh, state)
 
-    train_step = make_ldm_train_step(unet, ae, stage1_params, sched, opt,
-                                     ema_decay=ema_decay)
-    eval_step = make_ldm_eval_step(unet, ae, stage1_params, sched)
+    train_step = make_ldm_train_step(
+        unet, ae, stage1_params, sched, opt, ema_decay=ema_decay,
+        conditional=conditional,
+        cond_dropout_prob=cfg.train.cond_dropout_prob)
+    eval_step = make_ldm_eval_step(unet, ae, stage1_params, sched,
+                                   conditional=conditional)
 
     best_loss = float(jax.device_get(state.best_loss))
     stopped_on_nan = False
@@ -232,7 +252,11 @@ def train_ldm(
         eval_rng = jax.random.fold_in(rng, epoch)
 
         def _losses(bi, batch):
-            dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
+            if conditional:
+                dev_batch = (shard_batch(mesh, jnp.asarray(batch[0], dtype)),
+                             shard_batch(mesh, jnp.asarray(batch[1])))
+            else:
+                dev_batch = shard_batch(mesh, jnp.asarray(batch, dtype))
             return eval_step(state.params, state.scale_factor, dev_batch,
                              jax.random.fold_in(eval_rng, bi))
 
@@ -254,10 +278,13 @@ def train_ldm(
 
         @jax.jit
         def draw(params, sf, key):
-            z_T = jax.random.normal(key, (1, latent_len, latent_channels))
+            # conditional: one in-training sample per class; else one
+            n = cfg.unet.num_classes if conditional else 1
+            y = jnp.arange(n, dtype=jnp.int32) if conditional else None
+            z_T = jax.random.normal(key, (n, latent_len, latent_channels))
 
             def model_fn(x, t):
-                return unet.apply({"params": params}, x, t)
+                return unet.apply({"params": params}, x, t, y)
 
             z = ddpm_sample_loop(model_fn, sched, z_T, key, clip_sample=False)
             x_scaled = ae.apply({"params": stage1_params}, z / sf,
@@ -270,8 +297,9 @@ def train_ldm(
                                jax.random.fold_in(rng, epoch))
         x_scaled = to_bcl(np.asarray(jax.device_get(x_scaled), np.float32))
         x_raw = to_bcl(np.asarray(jax.device_get(x_raw), np.float32))
-        np.save(run_dir / f"sample_unconditioned_{epoch}.npy", x_scaled)
-        np.save(run_dir / f"sample_noscale_unconditioned_{epoch}.npy", x_raw)
+        tag = "conditional" if conditional else "unconditioned"
+        np.save(run_dir / f"sample_{tag}_{epoch}.npy", x_scaled)
+        np.save(run_dir / f"sample_noscale_{tag}_{epoch}.npy", x_raw)
         # figure artifacts like the reference's in-training sampler
         # (util.py:226-258: waveform figure + PSD comparison of the decode
         # with vs without the scale factor); never fatal to training

@@ -7,6 +7,8 @@ sampler (``sample_dm_conditional``), and a decode-harness quality gate
 (scripts/demo_conditional.py). These tests pin the mechanics on a CPU
 mesh; the quality gate runs on TPU (DEMO_COND_r3.json).
 """
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -251,6 +253,62 @@ def test_cond_dropout_train_step(cond_cfg):
     l0, l9 = float(m0["loss"]), float(m9["loss"])
     assert np.isfinite(l0) and np.isfinite(l9)
     assert l0 != l9, "p=0.9 must route most labels through the null branch"
+
+
+def test_conditional_train_ldm_and_guided_mesh_sampler(cond_cfg, cond_ds, tmp_path):
+    """Latent-space conditional: train_ldm with labeled batches + CFG
+    dropout, then guided sampling through make_ldm_sampler — mesh output
+    bitwise equal to single-device."""
+    from sleepgen.parallel import make_mesh
+    from sleepgen.sample.sample_ldm import make_ldm_sampler, sampling_schedule
+    from sleepgen.train.train_aekl import build_models
+    from sleepgen.train.train_ldm import train_ldm
+
+    train, valid = cond_ds
+    cfg = Config()
+    cfg.dtype = "float32"
+    cfg.train.batch_size = 16
+    cfg.train.n_epochs = 2
+    cfg.train.val_interval = 1
+    cfg.train.cond_dropout_prob = 0.2
+    cfg.train.output_dir = str(tmp_path)
+    cfg.aekl.num_channels = [2, 2, 4]
+    cfg.aekl.latent_channels = 1
+    cfg.unet.model_channels = 16
+    cfg.unet.norm_num_groups = 8
+    cfg.unet.channel_mult = [1, 2]
+    cfg.unet.attention_resolutions = [2]
+    cfg.unet.num_classes = N_CLASSES
+    cfg.unet.image_size = (WINDOW + 8) // 4  # latent length
+    cfg.diffusion.num_inference_steps = 4
+
+    ae, _ = build_models(cfg, jnp.float32)
+    x0 = jnp.zeros((2, WINDOW + 8, 1), jnp.float32)
+    stage1 = ae.init({"params": jax.random.PRNGKey(0)}, x0,
+                     jax.random.PRNGKey(1))["params"]
+
+    res = train_ldm(cfg, train, valid, stage1, run_name="cond_ldm")
+    assert np.isfinite(res.best_loss) and not res.stopped_on_nan
+    # in-training sampler wrote the per-class conditional artifact
+    assert (Path(res.run_dir) / "sample_conditional_1.npy").exists()
+
+    # guided sampling: mesh vs single-device bitwise
+    unet = build_unet(cfg, 1, 1, jnp.float32)
+    params = unet.init(jax.random.PRNGKey(1),
+                       jnp.zeros((2, cfg.unet.image_size, 1), jnp.float32),
+                       jnp.zeros((2,), jnp.int32),
+                       jnp.zeros((2,), jnp.int32))["params"]
+    sched = sampling_schedule(cfg)
+    seeds = jnp.arange(8)
+    labels = jnp.asarray(np.arange(8) % N_CLASSES, jnp.int32)
+    kw = dict(latent_len=cfg.unet.image_size, latent_channels=1,
+              num_inference_steps=4, border_pad=4, conditional=True,
+              guidance_scale=2.0)
+    s1 = make_ldm_sampler(unet, ae, sched, **kw)(
+        params, stage1, jnp.float32(1.0), jax.random.PRNGKey(0), seeds, labels)
+    s8 = make_ldm_sampler(unet, ae, sched, mesh=make_mesh(), **kw)(
+        params, stage1, jnp.float32(1.0), jax.random.PRNGKey(0), seeds, labels)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s8))
 
 
 def test_unconditional_tree_has_no_label_params():
