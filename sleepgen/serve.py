@@ -66,8 +66,10 @@ class SamplerService:
         lc = aekl_cfg.aekl.latent_channels
         unet = build_unet(cfg, lc, lc, jnp.float32)
         z0 = jnp.zeros((2, cfg.unet.image_size, lc), jnp.float32)
-        tpl = {"params": jax.device_get(unet.init(
-            jax.random.PRNGKey(0), z0, jnp.zeros((2,), jnp.int32))["params"]),
+        init_args = (jax.random.PRNGKey(0), z0, jnp.zeros((2,), jnp.int32))
+        if cfg.unet.num_classes > 0:  # conditional checkpoint
+            init_args += (jnp.zeros((2,), jnp.int32),)
+        tpl = {"params": jax.device_get(unet.init(*init_args)["params"]),
             "scale_factor": np.zeros((), np.float32)}
         ckpt2 = CheckpointManager(ldm_run_dir)
         best = ckpt2.restore_best(tpl)
@@ -78,8 +80,9 @@ class SamplerService:
                    batch_size=batch_size, **kw)
 
     # -- internals -----------------------------------------------------------
-    def _sampler(self, batch: int):
-        if batch not in self._samplers:
+    def _sampler(self, batch: int, guidance_scale: float = 1.0):
+        key = (batch, guidance_scale)
+        if key not in self._samplers:
             dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
             ae, _ = build_models(self.aekl_cfg, dtype)
             lc = self.aekl_cfg.aekl.latent_channels
@@ -94,12 +97,14 @@ class SamplerService:
             if self.mesh is not None:
                 n_data = self.mesh.shape["data"]
                 assert batch % n_data == 0, (batch, n_data)
-            self._samplers[batch] = make_ldm_sampler(
+            self._samplers[key] = make_ldm_sampler(
                 unet, ae, sched, self.cfg.unet.image_size, lc,
                 self.cfg.diffusion.num_inference_steps,
                 border_pad=self.border_pad,
-                sampler=self.cfg.diffusion.sampler, mesh=self.mesh)
-        return self._samplers[batch]
+                sampler=self.cfg.diffusion.sampler, mesh=self.mesh,
+                conditional=self.cfg.unet.num_classes > 0,
+                guidance_scale=guidance_scale)
+        return self._samplers[key]
 
     def _ensure_device_params(self):
         """Pin the parameter trees on device once. Checkpoint restores hand
@@ -125,21 +130,39 @@ class SamplerService:
         The warmup call is excluded from ``stats`` so the first real
         request reports steady-state throughput."""
         t0 = time.perf_counter()
-        self.sample(range(self.batch_size))
+        stage = 0 if self.cfg.unet.num_classes > 0 else None
+        self.sample(range(self.batch_size), stage=stage)
         dt = time.perf_counter() - t0
         self.stats = {}
         return dt
 
     # -- API -----------------------------------------------------------------
     def sample(self, seeds: Sequence[int],
-               base_key: Optional[jax.Array] = None) -> np.ndarray:
+               base_key: Optional[jax.Array] = None,
+               stage: Optional[int] = None,
+               guidance_scale: float = 1.0) -> np.ndarray:
         """Generate windows for the given seeds -> (N, window, 1) float32.
-        Per-seed deterministic (same contract as sample_trials)."""
+        Per-seed deterministic (same contract as sample_trials).
+
+        ``stage``: class label, required for conditional checkpoints
+        (cfg.unet.num_classes>0). ``guidance_scale>1`` adds classifier-free
+        guidance (one compiled sampler is cached per (batch, scale))."""
+        conditional = self.cfg.unet.num_classes > 0
+        if conditional and stage is None:
+            raise ValueError(
+                f"conditional checkpoint (num_classes="
+                f"{self.cfg.unet.num_classes}): pass stage=0.."
+                f"{self.cfg.unet.num_classes - 1}")
+        if not conditional and stage is not None:
+            raise ValueError("stage given but cfg.unet.num_classes=0")
         seeds = np.asarray(list(seeds), np.int32)
         key = base_key if base_key is not None else jax.random.PRNGKey(self.base_seed)
         self._ensure_device_params()
-        sampler = self._sampler(self.batch_size)
+        sampler = self._sampler(self.batch_size,
+                                guidance_scale if conditional else 1.0)
         sf = jnp.float32(self.scale_factor)
+        labels = (jnp.full((self.batch_size,), stage, jnp.int32)
+                  if conditional else None)
         outs = []
         t0 = time.perf_counter()
         for i in range(0, len(seeds), self.batch_size):
@@ -147,8 +170,9 @@ class SamplerService:
             padded = (np.concatenate(
                 [chunk, np.full(self.batch_size - len(chunk), chunk[-1], np.int32)])
                 if len(chunk) < self.batch_size else chunk)
-            sig = sampler(self.unet_params, self.ae_params, sf, key,
-                          jnp.asarray(padded))
+            args = (self.unet_params, self.ae_params, sf, key,
+                    jnp.asarray(padded))
+            sig = sampler(*args, labels) if conditional else sampler(*args)
             outs.append(np.asarray(jax.device_get(sig))[: len(chunk)])
         out = np.concatenate(outs, axis=0)
         dt = time.perf_counter() - t0
@@ -156,11 +180,12 @@ class SamplerService:
                       "last_windows_per_sec": len(seeds) / dt}
         return out
 
-    def sample_with_psd(self, seeds: Sequence[int]):
+    def sample_with_psd(self, seeds: Sequence[int], stage: Optional[int] = None,
+                        guidance_scale: float = 1.0):
         """(signals, psds_db, freqs) — the full sample_trials artifact set
         (DPSS multitaper, the method behind MNE's Epochs ``compute_psd``)."""
         from sleepgen.eval.psd import multitaper_psd_db
 
-        sigs = self.sample(seeds)
+        sigs = self.sample(seeds, stage=stage, guidance_scale=guidance_scale)
         psds, freqs = multitaper_psd_db(sigs[..., 0], fmax=18.0)
         return sigs, psds, freqs

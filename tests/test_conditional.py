@@ -311,6 +311,55 @@ def test_conditional_train_ldm_and_guided_mesh_sampler(cond_cfg, cond_ds, tmp_pa
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s8))
 
 
+def test_serve_conditional(tmp_path):
+    """SamplerService on a conditional LDM checkpoint: stage-routed,
+    guidance-keyed sampler cache, per-seed+stage determinism, error paths."""
+    from sleepgen.serve import SamplerService
+    from sleepgen.train.train_aekl import init_state
+    from sleepgen.utils import CheckpointManager
+
+    acfg = Config()
+    acfg.dtype = "float32"
+    acfg.aekl.num_channels = [2, 2, 4]
+    acfg.aekl.latent_channels = 1
+    arun = tmp_path / "aekl"
+    arun.mkdir()
+    acfg.to_yaml(arun / "config.yaml")
+    st, *_ = init_state(acfg, jax.random.PRNGKey(0), window=256)
+    ck = CheckpointManager(arun)
+    ck.save_best(jax.device_get(st.params_g))
+    ck.close()
+
+    cfg = Config()
+    cfg.dtype = "float32"
+    cfg.unet.model_channels = 16
+    cfg.unet.norm_num_groups = 8
+    cfg.unet.channel_mult = [1, 2]
+    cfg.unet.attention_resolutions = [2]
+    cfg.unet.num_classes = N_CLASSES
+    cfg.unet.image_size = 64
+    cfg.diffusion.num_inference_steps = 4
+    lrun = tmp_path / "ldm"
+    lrun.mkdir()
+    cfg.to_yaml(lrun / "config.yaml")
+    unet = build_unet(cfg, 1, 1, jnp.float32)
+    p = _perturbed_params(unet, 64)  # zero-init out conv would mask labels
+    ck = CheckpointManager(lrun)
+    ck.save_best({"params": jax.device_get(p),
+                  "scale_factor": jnp.float32(1.0)})
+    ck.close()
+
+    svc = SamplerService.from_run_dirs(arun, lrun, batch_size=4, border_pad=4)
+    with pytest.raises(ValueError):  # conditional service needs a stage
+        svc.sample(range(4))
+    out = svc.sample(range(4), stage=2)
+    assert out.shape == (4, 248, 1) and np.isfinite(out).all()
+    # same (seed, stage) -> same sample; different stage -> different
+    np.testing.assert_array_equal(svc.sample([1], stage=2)[0], out[1])
+    guided = svc.sample(range(4), stage=2, guidance_scale=2.0)
+    assert not np.allclose(guided, out)
+
+
 def test_unconditional_tree_has_no_label_params():
     cfg = Config()
     cfg.unet.model_channels = 16
