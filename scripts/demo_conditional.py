@@ -144,7 +144,7 @@ def main():
             lg = np.log10(np.asarray(pg).mean(0) + 1e-30)
             for j in range(5):
                 psd_corr[i, j] = float(np.corrcoef(lg, real_psd[j])[0, 1])
-        return {
+        return gen, {
             "conditional_fidelity_bal_acc": balanced_accuracy(labels, pred, 5),
             "per_class_recall": [float(cm[i, i] / max(cm[i].sum(), 1))
                                  for i in range(5)],
@@ -159,12 +159,46 @@ def main():
     scales = [1.0]
     if args.cond_dropout > 0 and args.guidance_scale != 1.0:
         scales.append(args.guidance_scale)
-    results = {f"guidance_{s:g}": evaluate(s) for s in scales}
+    results, gens = {}, {}
+    for s in scales:
+        gens[s], results[f"guidance_{s:g}"] = evaluate(s)
+
+    # augmentation study — the reference paper's central use case: does
+    # stage-labeled synthetic data help a decoder when real data is
+    # scarce? Low-data regime: decoders see only the first few real
+    # recordings, with and without the generated epochs mixed in.
+    n_low = max(2, int(n_tr * 0.1))
+    low_m = rids < n_low
+    gen_aug = gens[scales[-1]]  # guided variant when available
+    x_aug = np.concatenate([x[low_m], gen_aug])
+    y_aug = np.concatenate([y[low_m], labels])
+    print(f"[{time.time()-t0:.0f}s] augmentation study: {low_m.sum()} real "
+          f"epochs ({n_low} recordings) vs + {len(gen_aug)} synthetic...",
+          flush=True)
+    dec_low = train_decoder(
+        SleepStagerChambon2018(n_chans=1, sfreq=100, dropout=0.5),
+        (x[low_m], y[low_m]), (x[va_m], y[va_m]),
+        n_epochs=args.decoder_epochs, batch_size=64)
+    dec_aug = train_decoder(
+        SleepStagerChambon2018(n_chans=1, sfreq=100, dropout=0.5),
+        (x_aug, y_aug), (x[va_m], y[va_m]),
+        n_epochs=args.decoder_epochs, batch_size=64)
+    augmentation = {
+        "n_real_low": int(low_m.sum()),
+        "n_synthetic": int(len(gen_aug)),
+        "guidance_used": scales[-1],
+        "real_only_bal_acc": dec_low.best_valid_bal_acc,
+        "real_plus_synth_bal_acc": dec_aug.best_valid_bal_acc,
+    }
+    print(f"[{time.time()-t0:.0f}s] augmentation: real-only "
+          f"{dec_low.best_valid_bal_acc:.4f} vs +synth "
+          f"{dec_aug.best_valid_bal_acc:.4f}", flush=True)
 
     report = {
         "cond_dm_best_val_loss": res.best_loss,
         "decoder_real_valid_bal_acc": dec.best_valid_bal_acc,
         **results,
+        "augmentation_study": augmentation,
         "n_per_class": args.n_per_class,
         "epochs": args.epochs,
         "cond_dropout": args.cond_dropout,
