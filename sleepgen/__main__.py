@@ -19,6 +19,7 @@ COMMANDS = {
     "split-ids": "sleepgen.cli.split_ids",
     "serve": "sleepgen.cli.serve",
     "warm-cache": "sleepgen.cli.warm_cache",
+    "impute": "sleepgen.cli.impute",
 }
 
 

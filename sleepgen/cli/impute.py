@@ -1,0 +1,123 @@
+"""CLI: diffusion-based imputation of masked signal regions (beyond parity).
+
+Repairs a contiguous masked span of 30 s windows with a trained
+signal-space DM (``train_pure_ldm`` checkpoints, optionally
+stage-conditional) via RePaint masked ancestral sampling
+(``sleepgen.sample.samplers.ddpm_inpaint_loop``). The reference has no
+imputation path — its DM checkpoints only draw unconditional windows
+(``src/sample_trials_ddpm.py``); here the same weights repair artifacts.
+
+Input: a ``.npy`` of windows shaped (N, 3000), (N, 1, 3000) or
+(N, 3000, C) in the pipeline's normalized units. Output: the same
+windows with ``[mask_start, mask_start+mask_len)`` regenerated, saved as
+``imputed.npy`` (N, 1, 3000) next to a copy of the boolean mask.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", type=str, required=True,
+                   help=".npy of windows to repair")
+    p.add_argument("--diffusion_path", type=str, required=True,
+                   help="trained DM run dir (train_pure_ldm)")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--mask_start", type=int, required=True,
+                   help="first masked sample (0..2999, 100 Hz)")
+    p.add_argument("--mask_len", type=int, required=True)
+    p.add_argument("--stage", type=int, default=None,
+                   help="stage label for conditional checkpoints")
+    p.add_argument("--num_resample", type=int, default=1,
+                   help="RePaint resampling count (boundary harmonization)")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    from sleepgen.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sleepgen.config import Config
+    from sleepgen.data.transforms import BORDER_PAD
+    from sleepgen.sample.samplers import impute_dm
+    from sleepgen.train.train_ldm import build_unet, make_schedule
+    from sleepgen.utils import CheckpointManager
+
+    args = build_parser().parse_args(argv)
+    cfg = Config.from_yaml(Path(args.diffusion_path) / "config.yaml")
+    conditional = cfg.unet.num_classes > 0
+    if conditional and args.stage is None:
+        raise SystemExit(
+            f"checkpoint is class-conditional (num_classes="
+            f"{cfg.unet.num_classes}): pass --stage 0..{cfg.unet.num_classes - 1}")
+    if not conditional and args.stage is not None:
+        raise SystemExit("--stage given but the checkpoint is unconditional")
+
+    x = np.load(args.input)
+    if x.ndim == 2:  # (N, L)
+        x = x[..., None]
+    elif x.ndim == 3 and x.shape[1] == 1 and x.shape[2] > x.shape[1]:
+        x = np.transpose(x, (0, 2, 1))  # (N, 1, L) -> (N, L, 1)
+    n, length, ch = x.shape
+    window = cfg.unet.image_size
+    assert length + 2 * BORDER_PAD == window, (
+        f"window length {length} + 2*{BORDER_PAD} pad must equal the "
+        f"checkpoint's image_size {window}")
+    assert 0 <= args.mask_start < length and args.mask_len > 0
+    stop = min(args.mask_start + args.mask_len, length)
+
+    x_pad = np.pad(x.astype(np.float32),
+                   ((0, 0), (BORDER_PAD, BORDER_PAD), (0, 0)), mode="edge")
+    mask = np.ones((1, window, 1), np.float32)  # 1 = observed
+    mask[:, BORDER_PAD + args.mask_start : BORDER_PAD + stop, :] = 0.0
+
+    unet = build_unet(cfg, ch, ch, jnp.float32)
+    init_args = (jax.random.PRNGKey(0), jnp.zeros((2, window, ch)),
+                 jnp.zeros((2,), jnp.int32))
+    if conditional:
+        init_args += (jnp.zeros((2,), jnp.int32),)
+    tpl = {"params": jax.device_get(unet.init(*init_args)["params"])}
+    ckpt = CheckpointManager(args.diffusion_path)
+    best = ckpt.restore_best(tpl, name="final_model")
+    ckpt.close()
+    sched = make_schedule(cfg)
+
+    bs = args.batch_size
+
+    @jax.jit
+    def repair(params, xb, key):
+        y = (jnp.full((xb.shape[0],), args.stage, jnp.int32)
+             if conditional else None)
+        return impute_dm(unet, params, sched, xb, jnp.asarray(mask), key,
+                         labels=y, num_resample=args.num_resample)
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    outs = []
+    for i in range(0, n, bs):
+        xb = x_pad[i : i + bs]
+        real = len(xb)
+        if real < bs:  # one compiled shape for every batch
+            xb = np.concatenate([xb, np.repeat(xb[-1:], bs - real, 0)])
+        fixed = repair(best["params"], jnp.asarray(xb),
+                       jax.random.fold_in(jax.random.PRNGKey(args.seed), i))
+        outs.append(np.asarray(jax.device_get(fixed), np.float32)[:real])
+    imputed = np.concatenate(outs)[:, BORDER_PAD:-BORDER_PAD, :]
+    np.save(out_dir / "imputed.npy", np.transpose(imputed, (0, 2, 1)))
+    np.save(out_dir / "mask.npy",
+            mask[0, BORDER_PAD:-BORDER_PAD, 0].astype(bool))
+    print(f"imputed {n} windows ([{args.mask_start}:{stop}) regenerated) "
+          f"-> {out_dir / 'imputed.npy'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,83 @@ def ddpm_sample_loop(
     return x
 
 
+def ddpm_inpaint_loop(
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    sched: NoiseSchedule,
+    x_known: jnp.ndarray,
+    mask: jnp.ndarray,
+    rng: jax.Array,
+    num_resample: int = 1,
+    clip_sample: bool = True,
+) -> jnp.ndarray:
+    """Masked ancestral sampling (RePaint, Lugmayr et al. 2022) as one
+    lax.scan — diffusion-based imputation of missing signal regions.
+
+    ``mask`` is 1 where ``x_known`` is observed, 0 where it must be
+    generated (broadcastable to ``x_known``'s (B, L, C)). At every reverse
+    step the known region is projected onto the forward marginal
+    q(x_t | x_known) so the generated region is denoised *in context*;
+    ``num_resample`` > 1 adds RePaint's resampling jumps (renoise
+    x_{t-1} -> x_t and denoise again) to harmonize the boundary. The
+    returned signal equals ``x_known`` exactly on the observed region.
+
+    Beyond-parity capability: the reference has no imputation path at
+    all; EEG artifact repair falls out of the same trained DM
+    (``src/sample_trials_ddpm.py`` only draws unconditional windows).
+    """
+    mask = jnp.asarray(mask, jnp.float32)
+    ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    k_init, k_loop = jax.random.split(rng)
+    x_T = jax.random.normal(k_init, x_known.shape, jnp.float32)
+
+    def body(carry, t):
+        x, key = carry
+        t_b = jnp.full((x.shape[0],), t, jnp.int32)
+        # small static unroll: RePaint's resampling count is 1-2 in practice
+        for u in range(num_resample):
+            key, k_f, k_r, k_j = jax.random.split(key, 4)
+            x_known_t = sched.add_noise(
+                x_known, jax.random.normal(k_f, x.shape, jnp.float32), t_b)
+            x = mask * x_known_t + (1.0 - mask) * x
+            out = model_fn(x, t_b)
+            x_prev, _ = ddpm_step(
+                sched, out.astype(jnp.float32), t, x,
+                jax.random.normal(k_r, x.shape, jnp.float32),
+                clip_sample=clip_sample)
+            if u < num_resample - 1:
+                # jump back: one forward step x_{t-1} -> x_t
+                beta = sched._gather(sched.betas, t, x.ndim)
+                x = (jnp.sqrt(1.0 - beta) * x_prev
+                     + jnp.sqrt(beta) * jax.random.normal(k_j, x.shape,
+                                                          jnp.float32))
+            else:
+                x = x_prev
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(body, (x_T, k_loop), ts)
+    return mask * x_known + (1.0 - mask) * x
+
+
+def impute_dm(
+    unet,
+    params,
+    sched,
+    x_known: jnp.ndarray,
+    mask: jnp.ndarray,
+    base_key: jax.Array,
+    labels: jnp.ndarray | None = None,
+    num_resample: int = 1,
+):
+    """Impute the masked-out region of ``x_known`` with a trained
+    signal-space DM (optionally stage-conditional via ``labels``)."""
+
+    def model_fn(x, t):
+        return unet.apply({"params": params}, x, t, labels)
+
+    return ddpm_inpaint_loop(model_fn, sched, x_known, mask, base_key,
+                             num_resample=num_resample)
+
+
 def sample_dm_conditional(
     unet,
     params,

@@ -1,0 +1,136 @@
+"""Diffusion imputation (RePaint masked sampling) — beyond parity.
+
+The reference has no imputation path (its DM checkpoints only draw
+unconditional windows, ``src/sample_trials_ddpm.py``); sleepgen repairs
+masked signal regions with the same trained weights
+(``samplers.ddpm_inpaint_loop`` / ``impute_dm`` / ``cli.impute``).
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sleepgen.config import Config
+from sleepgen.sample.samplers import impute_dm
+from sleepgen.train.train_ldm import build_unet, make_schedule
+
+WINDOW = 256
+
+
+@pytest.fixture(scope="module")
+def small_dm():
+    cfg = Config()
+    cfg.dtype = "float32"
+    cfg.unet.model_channels = 16
+    cfg.unet.norm_num_groups = 8
+    cfg.unet.channel_mult = [1, 2]
+    cfg.unet.attention_resolutions = [2]
+    cfg.unet.image_size = WINDOW
+    cfg.diffusion.timesteps = 8  # tiny chain: the loop runs all T steps
+    unet = build_unet(cfg, 1, 1, jnp.float32)
+    params = unet.init(jax.random.PRNGKey(1),
+                       jnp.zeros((2, WINDOW, 1), jnp.float32),
+                       jnp.zeros((2,), jnp.int32))["params"]
+    # perturb: zero-init out conv would make the model input-independent
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.01 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
+    return cfg, unet, params, make_schedule(cfg)
+
+
+def _mask(start, stop):
+    m = np.ones((1, WINDOW, 1), np.float32)
+    m[:, start:stop, :] = 0.0
+    return jnp.asarray(m)
+
+
+def test_impute_preserves_known_and_fills_masked(small_dm):
+    cfg, unet, params, sched = small_dm
+    x = jnp.asarray(np.sin(np.linspace(0, 20, WINDOW, dtype=np.float32))
+                    )[None, :, None].repeat(3, 0)
+    mask = _mask(100, 180)
+    out = impute_dm(unet, params, sched, x, mask, jax.random.PRNGKey(0))
+    out = np.asarray(out)
+    # observed region is returned exactly; masked region was regenerated
+    np.testing.assert_array_equal(out[:, :100], np.asarray(x)[:, :100])
+    np.testing.assert_array_equal(out[:, 180:], np.asarray(x)[:, 180:])
+    assert not np.allclose(out[:, 100:180], np.asarray(x)[:, 100:180])
+    assert np.isfinite(out).all()
+
+
+def test_impute_deterministic_and_context_dependent(small_dm):
+    cfg, unet, params, sched = small_dm
+    mask = _mask(64, 192)
+    key = jax.random.PRNGKey(3)
+    x1 = jnp.ones((2, WINDOW, 1), jnp.float32) * 0.5
+    x2 = -x1
+    a = np.asarray(impute_dm(unet, params, sched, x1, mask, key))
+    b = np.asarray(impute_dm(unet, params, sched, x1, mask, key))
+    c = np.asarray(impute_dm(unet, params, sched, x2, mask, key))
+    np.testing.assert_array_equal(a, b)
+    # the DM denoises the masked span IN CONTEXT: different observed
+    # signal must produce a different repair (same key, same mask)
+    assert not np.allclose(a[:, 64:192], c[:, 64:192])
+
+
+def test_impute_resampling_and_conditional(small_dm):
+    cfg, unet, params, sched = small_dm
+    mask = _mask(0, 128)
+    x = jnp.zeros((2, WINDOW, 1), jnp.float32)
+    r2 = impute_dm(unet, params, sched, x, mask, jax.random.PRNGKey(0),
+                   num_resample=2)
+    assert np.isfinite(np.asarray(r2)).all()
+
+    cfg2 = Config()
+    cfg2.dtype = "float32"
+    cfg2.unet.model_channels = 16
+    cfg2.unet.norm_num_groups = 8
+    cfg2.unet.channel_mult = [1, 2]
+    cfg2.unet.attention_resolutions = [2]
+    cfg2.unet.num_classes = 5
+    cfg2.diffusion.timesteps = 8
+    unet_c = build_unet(cfg2, 1, 1, jnp.float32)
+    params_c = unet_c.init(jax.random.PRNGKey(1),
+                           jnp.zeros((2, WINDOW, 1), jnp.float32),
+                           jnp.zeros((2,), jnp.int32),
+                           jnp.zeros((2,), jnp.int32))["params"]
+    sched_c = make_schedule(cfg2)
+    y = jnp.array([0, 3], jnp.int32)
+    rc = impute_dm(unet_c, params_c, sched_c, x, mask, jax.random.PRNGKey(0),
+                   labels=y)
+    assert np.isfinite(np.asarray(rc)).all()
+
+
+def test_impute_cli(small_dm, tmp_path):
+    """Drive the CLI end to end on a random-init checkpoint."""
+    from sleepgen.cli.impute import main as impute_main
+    from sleepgen.utils import CheckpointManager
+
+    cfg, unet, params, sched = small_dm
+    run = tmp_path / "dm"
+    run.mkdir()
+    cfg.to_yaml(run / "config.yaml")
+    ck = CheckpointManager(run)
+    ck.save_best({"params": jax.device_get(params)}, name="final_model")
+    ck.close()
+
+    length = WINDOW - 72  # CLI pads by BORDER_PAD=36 per side
+    rng = np.random.default_rng(0)
+    windows = rng.standard_normal((5, 1, length)).astype(np.float32)
+    inp = tmp_path / "in.npy"
+    np.save(inp, windows)
+    out = tmp_path / "fixed"
+    impute_main(["--input", str(inp), "--diffusion_path", str(run),
+                 "--output_dir", str(out), "--mask_start", "60",
+                 "--mask_len", "50", "--batch_size", "4"])
+    fixed = np.load(out / "imputed.npy")
+    mask = np.load(out / "mask.npy")
+    assert fixed.shape == (5, 1, length) and np.isfinite(fixed).all()
+    assert mask.shape == (length,) and (~mask[60:110]).all() and mask[:60].all()
+    np.testing.assert_array_equal(fixed[:, 0, :60], windows[:, 0, :60])
+    assert not np.allclose(fixed[:, 0, 60:110], windows[:, 0, 60:110])
