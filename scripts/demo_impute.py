@@ -1,0 +1,173 @@
+"""Imputation quality gate on TPU (beyond parity).
+
+Loads the stage-conditional DM trained by scripts/demo_conditional.py,
+masks a contiguous span of REAL held-out staged epochs, repairs it with
+RePaint masked sampling (samplers.ddpm_inpaint_loop), and scores the
+repair against cheap baselines (linear interpolation, std-matched noise
+fill):
+
+  * masked-region log-PSD correlation vs the original span (spectral
+    fidelity — the right metric for a generative repair; exact-MSE is
+    reported but a faithful generative fill will NOT minimize it)
+  * boundary continuity: |first difference| at the two mask edges vs the
+    signal's typical step size
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dm_run", type=str,
+                   default="/tmp/sleepgen_demo_cond/cond_dm")
+    p.add_argument("--out", type=str, default="/tmp/sleepgen_demo_impute")
+    p.add_argument("--n_windows", type=int, default=64)
+    p.add_argument("--mask_start", type=int, default=1000)
+    p.add_argument("--mask_len", type=int, default=1000)
+    p.add_argument("--num_resample", type=int, default=1)
+    p.add_argument("--n_recordings", type=int, default=40,
+                   help="must match the demo_conditional fixture")
+    p.add_argument("--n_epochs_per_rec", type=int, default=60)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sleepgen.config import Config
+    from sleepgen.data.staging import make_synthetic_staged
+    from sleepgen.data.transforms import BORDER_PAD
+    from sleepgen.eval.psd import welch_psd
+    from sleepgen.sample.samplers import impute_dm
+    from sleepgen.train.train_ldm import build_unet, make_schedule
+    from sleepgen.utils import CheckpointManager
+    from sleepgen.utils.profiling import enable_compilation_cache, tpu_contact
+
+    enable_compilation_cache()
+    tpu_contact()
+    t0 = time.time()
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    # same hermetic fixture as demo_conditional; impute on the VALID split
+    x, y, rids = make_synthetic_staged(args.n_recordings, args.n_epochs_per_rec)
+    va = rids >= int(args.n_recordings * 0.8)
+    xv, yv = x[va][: args.n_windows], y[va][: args.n_windows]
+    n, length = xv.shape[0], xv.shape[1]
+    start, stop = args.mask_start, min(args.mask_start + args.mask_len, length)
+    print(f"[{time.time()-t0:.0f}s] {n} valid epochs, masking "
+          f"[{start}:{stop}) of {length}", flush=True)
+
+    cfg = Config.from_yaml(Path(args.dm_run) / "config.yaml")
+    conditional = cfg.unet.num_classes > 0
+    window = cfg.unet.image_size
+    unet = build_unet(cfg, 1, 1, jnp.float32)
+    init_args = (jax.random.PRNGKey(0), jnp.zeros((2, window, 1)),
+                 jnp.zeros((2,), jnp.int32))
+    if conditional:
+        init_args += (jnp.zeros((2,), jnp.int32),)
+    tpl = {"params": jax.device_get(unet.init(*init_args)["params"])}
+    ck = CheckpointManager(args.dm_run)
+    best = ck.restore_best(tpl, name="final_model")
+    ck.close()
+    sched = make_schedule(cfg)
+
+    x_pad = np.pad(xv.astype(np.float32),
+                   ((0, 0), (BORDER_PAD, BORDER_PAD), (0, 0)), mode="edge")
+    mask = np.ones((1, window, 1), np.float32)
+    mask[:, BORDER_PAD + start : BORDER_PAD + stop, :] = 0.0
+
+    @jax.jit
+    def repair(params, xb, yb, key):
+        return impute_dm(unet, params, sched, xb, jnp.asarray(mask), key,
+                         labels=yb if conditional else None,
+                         num_resample=args.num_resample)
+
+    bs = 32
+    outs = []
+    print(f"[{time.time()-t0:.0f}s] imputing (full {cfg.diffusion.timesteps}"
+          f"-step chain, resample={args.num_resample})...", flush=True)
+    for i in range(0, n, bs):
+        xb, yb = x_pad[i : i + bs], yv[i : i + bs]
+        real = len(xb)
+        if real < bs:
+            xb = np.concatenate([xb, np.repeat(xb[-1:], bs - real, 0)])
+            yb = np.concatenate([yb, np.repeat(yb[-1:], bs - real, 0)])
+        fixed = repair(best["params"], jnp.asarray(xb),
+                       jnp.asarray(yb, jnp.int32),
+                       jax.random.fold_in(jax.random.PRNGKey(0), i))
+        outs.append(np.asarray(jax.device_get(fixed), np.float32)[:real])
+    imputed = np.concatenate(outs)[:, BORDER_PAD:-BORDER_PAD, 0]
+    orig = xv[..., 0]
+    np.save(out / "imputed.npy", imputed)
+
+    # baselines on the masked span
+    lin = orig.copy()
+    span = stop - start
+    stop_idx = min(stop, length - 1)  # right anchor (no wraparound)
+    ramp = np.linspace(0, 1, span, dtype=np.float32)[None, :]
+    lin[:, start:stop] = (orig[:, start - 1 : start] * (1 - ramp)
+                          + orig[:, stop_idx][:, None] * ramp)
+    noise = orig.copy()
+    rng = np.random.default_rng(0)
+    noise[:, start:stop] = rng.standard_normal((n, span)).astype(np.float32) \
+        * orig.std(axis=1, keepdims=True)
+
+    def span_psd_corr(a, b):
+        """Mean per-window log-PSD correlation over the masked span."""
+        pa, _ = welch_psd(jnp.asarray(a[:, start:stop]), fmax=18.0)
+        pb, _ = welch_psd(jnp.asarray(b[:, start:stop]), fmax=18.0)
+        la = np.log10(np.asarray(pa) + 1e-30)
+        lb = np.log10(np.asarray(pb) + 1e-30)
+        cs = [float(np.corrcoef(la[i], lb[i])[0, 1]) for i in range(len(la))]
+        return float(np.mean(cs))
+
+    def boundary_jump(a):
+        """|first difference| across the two mask edges, normalized by the
+        signal's median |step|: ~1 = seamless, >>1 = visible seam."""
+        step = np.median(np.abs(np.diff(orig, axis=1)))
+        j_in = np.abs(a[:, start] - a[:, start - 1])
+        j_out = np.abs(a[:, stop_idx] - a[:, stop - 1])
+        return float(np.mean((j_in + j_out) / 2.0) / step)
+
+    report = {
+        "dm_run": str(args.dm_run),
+        "conditional": conditional,
+        "n_windows": n,
+        "mask": [start, stop],
+        "num_resample": args.num_resample,
+        "psd_corr_masked_span": {
+            "diffusion": span_psd_corr(imputed, orig),
+            "linear_interp": span_psd_corr(lin, orig),
+            "noise_fill": span_psd_corr(noise, orig),
+        },
+        "boundary_jump_ratio": {
+            "diffusion": boundary_jump(imputed),
+            "linear_interp": boundary_jump(lin),
+            "noise_fill": boundary_jump(noise),
+            "original": boundary_jump(orig),
+        },
+        "mse_masked_span": {
+            "diffusion": float(np.mean((imputed[:, start:stop]
+                                        - orig[:, start:stop]) ** 2)),
+            "linear_interp": float(np.mean((lin[:, start:stop]
+                                            - orig[:, start:stop]) ** 2)),
+            "noise_fill": float(np.mean((noise[:, start:stop]
+                                         - orig[:, start:stop]) ** 2)),
+        },
+        "wall_clock_sec": round(time.time() - t0, 1),
+    }
+    (out / "report.json").write_text(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
