@@ -89,7 +89,11 @@ def main(argv=None) -> None:
         x = jnp.zeros((2, window, in_ch), dtype)
         ae_params = ae.init({"params": rng}, x, rng)["params"]
         z0 = jnp.zeros((2, cfg.unet.image_size, lc), dtype)
-        unet_params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+        conditional = cfg.unet.num_classes > 0
+        init_args = (rng, z0, jnp.zeros((2,), jnp.int32))
+        if conditional:  # conditional configs warm the labeled graphs
+            init_args += (jnp.zeros((2,), jnp.int32),)
+        unet_params = unet.init(*init_args)["params"]
 
     if "ldm" in targets:
         import optax
@@ -113,10 +117,14 @@ def main(argv=None) -> None:
         # graph will not match the real job's
         u_train = (unet.clone(fast_math=True)
                    if cfg.fast_train_math and dtype == jnp.bfloat16 else unet)
-        tstep = make_ldm_train_step(u_train, ae, ae_params, make_schedule(cfg),
-                                    opt, ema_decay=ema_decay)
+        tstep = make_ldm_train_step(
+            u_train, ae, ae_params, make_schedule(cfg), opt,
+            ema_decay=ema_decay, conditional=conditional,
+            cond_dropout_prob=cfg.train.cond_dropout_prob)
         b = args.train_batch or cfg.train.batch_size
         batch = jnp.zeros((b, window, in_ch), dtype)
+        if conditional:
+            batch = (batch, jnp.zeros((b,), jnp.int32))
         clock("ldm train step",
               lambda: tstep.lower(st, batch, rng).compile())
 
@@ -137,12 +145,15 @@ def main(argv=None) -> None:
             cfg.fast_sampling_math and dtype == jnp.bfloat16) else unet
         s = make_ldm_sampler(u, ae, sampling_schedule(cfg),
                              cfg.unet.image_size, lc, steps,
-                             sampler=sampler_kind)
+                             sampler=sampler_kind, conditional=conditional)
         for b in batches:
             seeds = jnp.arange(b)
+            sample_args = (unet_params, ae_params, jnp.float32(1.0), rng,
+                           seeds)
+            if conditional:
+                sample_args += (jnp.zeros((b,), jnp.int32),)
             clock(f"{sampler_kind}-{steps} sampler batch {b}",
-                  lambda: s.lower(unet_params, ae_params, jnp.float32(1.0),
-                                  rng, seeds).compile())
+                  lambda: s.lower(*sample_args).compile())
 
 
 if __name__ == "__main__":
