@@ -47,7 +47,8 @@ def main():
     from sleepgen.data.transforms import BORDER_PAD
     from sleepgen.eval.psd import welch_psd
     from sleepgen.sample.samplers import impute_dm
-    from sleepgen.train.train_ldm import build_unet, make_schedule
+    from sleepgen.train.train_ldm import (build_unet, init_unet_template,
+                                          make_schedule)
     from sleepgen.utils import CheckpointManager
     from sleepgen.utils.profiling import enable_compilation_cache, tpu_contact
 
@@ -70,11 +71,7 @@ def main():
     conditional = cfg.unet.num_classes > 0
     window = cfg.unet.image_size
     unet = build_unet(cfg, 1, 1, jnp.float32)
-    init_args = (jax.random.PRNGKey(0), jnp.zeros((2, window, 1)),
-                 jnp.zeros((2,), jnp.int32))
-    if conditional:
-        init_args += (jnp.zeros((2,), jnp.int32),)
-    tpl = {"params": jax.device_get(unet.init(*init_args)["params"])}
+    tpl = init_unet_template(cfg, unet, (window, 1))
     ck = CheckpointManager(args.dm_run)
     best = ck.restore_best(tpl, name="final_model")
     ck.close()
@@ -109,13 +106,26 @@ def main():
     orig = xv[..., 0]
     np.save(out / "imputed.npy", imputed)
 
-    # baselines on the masked span
+    # baselines on the masked span. Anchors must be OBSERVED samples:
+    # left = start-1 (if the span doesn't touch the left edge), right =
+    # stop, the first unmasked sample (if it doesn't touch the right
+    # edge) — anchoring on min(stop, length-1) would read masked data
+    # when the span runs to the end. Edge-touching spans degenerate to a
+    # one-anchor constant fill; a fully-masked window falls back to the
+    # normalized midpoint 0.5.
     lin = orig.copy()
     span = stop - start
-    stop_idx = min(stop, length - 1)  # right anchor (no wraparound)
-    ramp = np.linspace(0, 1, span, dtype=np.float32)[None, :]
-    lin[:, start:stop] = (orig[:, start - 1 : start] * (1 - ramp)
-                          + orig[:, stop_idx][:, None] * ramp)
+    left = orig[:, start - 1][:, None] if start > 0 else None
+    right = orig[:, stop][:, None] if stop < length else None
+    if left is None and right is None:
+        lin[:, start:stop] = 0.5
+    elif left is None:
+        lin[:, start:stop] = right
+    elif right is None:
+        lin[:, start:stop] = left
+    else:
+        ramp = np.linspace(0, 1, span, dtype=np.float32)[None, :]
+        lin[:, start:stop] = left * (1 - ramp) + right * ramp
     noise = orig.copy()
     rng = np.random.default_rng(0)
     noise[:, start:stop] = rng.standard_normal((n, span)).astype(np.float32) \
@@ -131,12 +141,18 @@ def main():
         return float(np.mean(cs))
 
     def boundary_jump(a):
-        """|first difference| across the two mask edges, normalized by the
-        signal's median |step|: ~1 = seamless, >>1 = visible seam."""
+        """|first difference| across the mask edges that exist (a span
+        touching the window edge has only one), normalized by the signal's
+        median |step|: ~1 = seamless, >>1 = visible seam."""
         step = np.median(np.abs(np.diff(orig, axis=1)))
-        j_in = np.abs(a[:, start] - a[:, start - 1])
-        j_out = np.abs(a[:, stop_idx] - a[:, stop - 1])
-        return float(np.mean((j_in + j_out) / 2.0) / step)
+        jumps = []
+        if start > 0:
+            jumps.append(np.abs(a[:, start] - a[:, start - 1]))
+        if stop < length:
+            jumps.append(np.abs(a[:, stop] - a[:, stop - 1]))
+        if not jumps:
+            return float("nan")
+        return float(np.mean(np.stack(jumps)) / step)
 
     report = {
         "dm_run": str(args.dm_run),

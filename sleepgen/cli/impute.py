@@ -48,19 +48,18 @@ def main(argv=None):
 
     from sleepgen.config import Config
     from sleepgen.data.transforms import BORDER_PAD
-    from sleepgen.sample.samplers import impute_dm
-    from sleepgen.train.train_ldm import build_unet, make_schedule
+    from sleepgen.sample.samplers import impute_dm, validate_stage
+    from sleepgen.train.train_ldm import (build_unet, init_unet_template,
+                                          make_schedule)
     from sleepgen.utils import CheckpointManager
 
     args = build_parser().parse_args(argv)
     cfg = Config.from_yaml(Path(args.diffusion_path) / "config.yaml")
     conditional = cfg.unet.num_classes > 0
-    if conditional and args.stage is None:
-        raise SystemExit(
-            f"checkpoint is class-conditional (num_classes="
-            f"{cfg.unet.num_classes}): pass --stage 0..{cfg.unet.num_classes - 1}")
-    if not conditional and args.stage is not None:
-        raise SystemExit("--stage given but the checkpoint is unconditional")
+    try:
+        validate_stage(cfg.unet.num_classes, args.stage)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     x = np.load(args.input)
     if x.ndim == 2:  # (N, L)
@@ -81,11 +80,7 @@ def main(argv=None):
     mask[:, BORDER_PAD + args.mask_start : BORDER_PAD + stop, :] = 0.0
 
     unet = build_unet(cfg, ch, ch, jnp.float32)
-    init_args = (jax.random.PRNGKey(0), jnp.zeros((2, window, ch)),
-                 jnp.zeros((2,), jnp.int32))
-    if conditional:
-        init_args += (jnp.zeros((2,), jnp.int32),)
-    tpl = {"params": jax.device_get(unet.init(*init_args)["params"])}
+    tpl = init_unet_template(cfg, unet, (window, ch))
     ckpt = CheckpointManager(args.diffusion_path)
     best = ckpt.restore_best(tpl, name="final_model")
     ckpt.close()

@@ -50,8 +50,9 @@ def main(argv=None):
 
     from sleepgen.config import Config
     from sleepgen.sample.sample_ldm import sample_ldm_trials
+    from sleepgen.sample.samplers import validate_stage
     from sleepgen.train.train_aekl import init_state
-    from sleepgen.train.train_ldm import build_unet
+    from sleepgen.train.train_ldm import build_unet, init_unet_template
     from sleepgen.utils import CheckpointManager
 
     args = build_parser().parse_args(argv)
@@ -69,21 +70,15 @@ def main(argv=None):
     ckpt.close()
 
     conditional = cfg.unet.num_classes > 0
-    if conditional and args.stage is None:
-        raise SystemExit(
-            f"checkpoint is class-conditional (num_classes="
-            f"{cfg.unet.num_classes}): pass --stage 0..{cfg.unet.num_classes - 1}")
+    try:
+        validate_stage(cfg.unet.num_classes, args.stage, args.guidance_scale)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     lc = aekl_cfg.aekl.latent_channels
     unet = build_unet(cfg, lc, lc, jnp.float32)
-    z0 = jnp.zeros((2, cfg.unet.image_size, lc))
-    init_args = (jax.random.PRNGKey(0), z0, jnp.zeros((2,), jnp.int32))
-    if conditional:
-        init_args += (jnp.zeros((2,), jnp.int32),)
-    template = {
-        "params": jax.device_get(unet.init(*init_args)["params"]),
-        "scale_factor": jnp.float32(1.0),
-    }
+    template = init_unet_template(cfg, unet, (cfg.unet.image_size, lc),
+                                  with_scale_factor=True)
     ckpt2 = CheckpointManager(args.diffusion_path)
     best = ckpt2.restore_best(template)
     ckpt2.close()

@@ -88,21 +88,17 @@ def main(argv=None):
     cfg.diffusion.num_inference_steps = num_ddim_steps
     signal_len = cfg.unet.image_size
 
+    from sleepgen.sample.samplers import validate_stage
+    from sleepgen.train.train_ldm import init_unet_template
+
     conditional = cfg.unet.num_classes > 0
-    if conditional and args.stage is None:
-        raise SystemExit(
-            f"checkpoint is class-conditional (num_classes="
-            f"{cfg.unet.num_classes}): pass --stage 0..{cfg.unet.num_classes - 1}")
-    if not conditional and args.stage is not None:
-        raise SystemExit("--stage given but the checkpoint is unconditional "
-                         "(config.unet.num_classes=0)")
+    try:
+        validate_stage(cfg.unet.num_classes, args.stage, args.guidance_scale)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     unet = build_unet(cfg, 1, 1, jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
-    x0 = jnp.zeros((2, signal_len, 1))
-    init_args = (jax.random.PRNGKey(0), x0, jnp.zeros((2,), jnp.int32))
-    if conditional:
-        init_args += (jnp.zeros((2,), jnp.int32),)
-    template = {"params": jax.device_get(unet.init(*init_args)["params"])}
+    template = init_unet_template(cfg, unet, (signal_len, 1))
     ckpt = CheckpointManager(args.diffusion_path)
     best = ckpt.restore_best(template)
     ckpt.close()

@@ -3,10 +3,12 @@
 The reference's only "serving" is re-running sample_trials.py per request
 (model load + compile every time). This keeps one process-resident,
 pre-compiled sampler and answers requests from stdin (one JSON per line:
-{"seeds": [0, 1, ...]} or {"start": 0, "stop": 128}), writing .npy
-artifacts per request — a minimal production loop that works the same on
-CPU and TPU. With --oneshot it serves a single request from flags and
-exits (useful for scripted benchmarking of warm throughput).
+{"seeds": [0, 1, ...]} or {"start": 0, "stop": 128}, plus optional
+"stage" and "guidance_scale" fields for class-conditional checkpoints),
+writing .npy artifacts per request — a minimal production loop that works
+the same on CPU and TPU. With --oneshot it serves a single request from
+flags (--stage/--guidance_scale set the conditional defaults) and exits
+(useful for scripted benchmarking of warm throughput).
 """
 from __future__ import annotations
 
@@ -26,6 +28,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--start", type=int, default=0)
     p.add_argument("--stop", type=int, default=128)
     p.add_argument("--psd", action="store_true")
+    p.add_argument("--stage", type=int, default=None,
+                   help="default sleep-stage label for class-conditional "
+                        "checkpoints (config.unet.num_classes>0); required "
+                        "for them unless every request carries a 'stage' "
+                        "field. Omit for unconditional checkpoints.")
+    p.add_argument("--guidance_scale", type=float, default=1.0,
+                   help="default classifier-free guidance scale; requests "
+                        "may override via a 'guidance_scale' field (one "
+                        "compiled sampler serves all scales)")
     return p
 
 
@@ -50,16 +61,28 @@ def main(argv=None):
     svc = SamplerService.from_run_dirs(args.best_model_path,
                                        args.diffusion_path,
                                        batch_size=args.batch_size)
+    conditional = svc.cfg.unet.num_classes > 0
+    if conditional and args.stage is None:
+        print(f"conditional checkpoint (num_classes="
+              f"{svc.cfg.unet.num_classes}): requests must carry a 'stage' "
+              f"field (no --stage default given)", flush=True)
     compile_s = svc.warmup()
     print(f"ready (compile {compile_s:.1f}s, batch {args.batch_size})",
           flush=True)
 
-    def handle(seeds, req_id):
-        if args.psd:
-            sigs, psds, freqs = svc.sample_with_psd(seeds)
-            np.save(out / f"psds_{req_id}.npy", psds)
-        else:
-            sigs = svc.sample(seeds)
+    def handle(seeds, req_id, stage=None, guidance_scale=None):
+        stage = args.stage if stage is None else stage
+        gs = args.guidance_scale if guidance_scale is None else guidance_scale
+        try:
+            if args.psd:
+                sigs, psds, freqs = svc.sample_with_psd(
+                    seeds, stage=stage, guidance_scale=gs)
+                np.save(out / f"psds_{req_id}.npy", psds)
+            else:
+                sigs = svc.sample(seeds, stage=stage, guidance_scale=gs)
+        except ValueError as e:  # bad stage/guidance: report, keep serving
+            print(json.dumps({"request": req_id, "error": str(e)}), flush=True)
+            return
         np.save(out / f"signals_{req_id}.npy", sigs)
         print(json.dumps({"request": req_id, "n": len(sigs), **svc.stats}),
               flush=True)
@@ -75,7 +98,8 @@ def main(argv=None):
         req = json.loads(line)
         seeds = (req["seeds"] if "seeds" in req
                  else range(req.get("start", 0), req.get("stop", 128)))
-        handle(list(seeds), i)
+        handle(list(seeds), i, stage=req.get("stage"),
+               guidance_scale=req.get("guidance_scale"))
 
 
 if __name__ == "__main__":

@@ -84,16 +84,17 @@ def main(argv=None) -> None:
         from sleepgen.train.train_aekl import build_models
         from sleepgen.train.train_ldm import build_unet
 
+        from sleepgen.train.train_ldm import init_unet_template
+
         ae, _ = build_models(cfg, dtype)
         unet = build_unet(cfg, lc, lc, dtype)
         x = jnp.zeros((2, window, in_ch), dtype)
         ae_params = ae.init({"params": rng}, x, rng)["params"]
-        z0 = jnp.zeros((2, cfg.unet.image_size, lc), dtype)
         conditional = cfg.unet.num_classes > 0
-        init_args = (rng, z0, jnp.zeros((2,), jnp.int32))
-        if conditional:  # conditional configs warm the labeled graphs
-            init_args += (jnp.zeros((2,), jnp.int32),)
-        unet_params = unet.init(*init_args)["params"]
+        # conditional configs warm the labeled graphs (shared template
+        # helper keeps the init args in one place)
+        unet_params = init_unet_template(
+            cfg, unet, (cfg.unet.image_size, lc))["params"]
 
     if "ldm" in targets:
         import optax
@@ -146,6 +147,13 @@ def main(argv=None) -> None:
         s = make_ldm_sampler(u, ae, sampling_schedule(cfg),
                              cfg.unet.image_size, lc, steps,
                              sampler=sampler_kind, conditional=conditional)
+        # the guided (CFG) sampler takes guidance_scale as a traced scalar,
+        # so one warmed graph covers EVERY scale a client might request
+        sg = (make_ldm_sampler(u, ae, sampling_schedule(cfg),
+                               cfg.unet.image_size, lc, steps,
+                               sampler=sampler_kind, conditional=True,
+                               guided=True)
+              if conditional else None)
         for b in batches:
             seeds = jnp.arange(b)
             sample_args = (unet_params, ae_params, jnp.float32(1.0), rng,
@@ -154,6 +162,10 @@ def main(argv=None) -> None:
                 sample_args += (jnp.zeros((b,), jnp.int32),)
             clock(f"{sampler_kind}-{steps} sampler batch {b}",
                   lambda: s.lower(*sample_args).compile())
+            if conditional:
+                gargs = sample_args + (jnp.float32(2.0),)
+                clock(f"{sampler_kind}-{steps} guided sampler batch {b}",
+                      lambda: sg.lower(*gargs).compile())
 
 
 if __name__ == "__main__":

@@ -48,7 +48,7 @@ def make_ldm_sampler(
     sampler: str = "ddim",
     mesh=None,
     conditional: bool = False,
-    guidance_scale: float = 1.0,
+    guided: bool = False,
 ):
     """Returns jitted (unet_params, ae_params, scale_factor, base_key, seeds)
     -> (B, 3000, 1) signals. ``sampler``: "ddim" (reference parity) or
@@ -62,27 +62,33 @@ def make_ldm_sampler(
 
     ``conditional``: the sampler takes a trailing ``labels`` (B,) int32
     argument (sharded alongside seeds under a mesh) and feeds the UNet's
-    class embedding (config.unet.num_classes>0). ``guidance_scale>1``
-    adds classifier-free guidance — the null branch (labels=-1) runs in
-    the same 2B-batch UNet apply per step."""
+    class embedding (config.unet.num_classes>0). ``guided=True`` adds
+    classifier-free guidance — the null branch (labels=-1) runs in the
+    same 2B-batch UNet apply per step, and the sampler takes one more
+    trailing ``guidance_scale`` scalar that is *traced*, so a single
+    compiled graph serves every scale (a baked-in Python constant would
+    recompile the whole 200-step scan per scale — measured minutes on
+    TPU — and grow a service's sampler cache without bound)."""
+    assert conditional or not guided, "guided sampling requires conditional"
     if mesh is not None:
         from sleepgen.parallel import batch_sharding, replicated
 
         rep, bat = replicated(mesh), batch_sharding(mesh)
-        in_sh = (rep, rep, rep, rep, bat) + ((bat,) if conditional else ())
+        in_sh = ((rep, rep, rep, rep, bat) + ((bat,) if conditional else ())
+                 + ((rep,) if guided else ()))
         jit_kwargs = dict(in_shardings=in_sh, out_shardings=bat)
     else:
         jit_kwargs = {}
 
     @functools.partial(jax.jit, **jit_kwargs)
     def sample(unet_params, ae_params, scale_factor, base_key, seeds,
-               labels=None):
+               labels=None, guidance_scale=None):
         x_T = seed_noise(base_key, seeds, (latent_len, latent_channels))
 
         if not conditional:
             def model_fn(x, t):
                 return unet.apply({"params": unet_params}, x, t)
-        elif guidance_scale == 1.0:
+        elif not guided:
             def model_fn(x, t):
                 return unet.apply({"params": unet_params}, x, t, labels)
         else:
@@ -211,20 +217,17 @@ def sample_ldm_trials(
     if mesh is not None:
         n_data = mesh.shape["data"]
         assert batch_size % n_data == 0, (batch_size, n_data)
+    from sleepgen.sample.samplers import validate_stage
+
     conditional = cfg.unet.num_classes > 0
-    if conditional and stage is None:
-        raise ValueError(
-            f"conditional checkpoint (num_classes={cfg.unet.num_classes}): "
-            f"pass stage=0..{cfg.unet.num_classes - 1}")
-    if not conditional and stage is not None:
-        raise ValueError("stage given but cfg.unet.num_classes=0")
+    validate_stage(cfg.unet.num_classes, stage, guidance_scale)
+    guided = conditional and guidance_scale != 1.0
     sampler = make_ldm_sampler(unet, ae, sched, latent_len=cfg.unet.image_size,
                                latent_channels=lc,
                                num_inference_steps=cfg.diffusion.num_inference_steps,
                                border_pad=border_pad,
                                sampler=cfg.diffusion.sampler, mesh=mesh,
-                               conditional=conditional,
-                               guidance_scale=guidance_scale)
+                               conditional=conditional, guided=guided)
     base_key = base_key if base_key is not None else jax.random.PRNGKey(0)
     sf = jnp.asarray(scale_factor, jnp.float32)
 
@@ -247,13 +250,12 @@ def sample_ldm_trials(
         # pad to full batch so every device step reuses one compiled shape
         padded = np.concatenate([seeds, np.full(batch_size - len(seeds), seeds[-1])]) \
             if len(seeds) < batch_size else seeds
+        args = (unet_params, ae_params, sf, base_key, jnp.asarray(padded))
         if conditional:
-            y = jnp.full((batch_size,), stage, jnp.int32)
-            sig = sampler(unet_params, ae_params, sf, base_key,
-                          jnp.asarray(padded), y)
-        else:
-            sig = sampler(unet_params, ae_params, sf, base_key,
-                          jnp.asarray(padded))
+            args += (jnp.full((batch_size,), stage, jnp.int32),)
+        if guided:
+            args += (jnp.float32(guidance_scale),)
+        sig = sampler(*args)
         sig = np.asarray(jax.device_get(sig))[: len(seeds)]
         write_sample_artifacts(output_dir, seeds.tolist(), sig, compute_psd)
         outs.append(sig)

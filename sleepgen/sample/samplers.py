@@ -27,6 +27,35 @@ import numpy as np
 from sleepgen.diffusion import NoiseSchedule, ddim_step, ddim_timesteps, ddpm_step
 
 
+def validate_stage(num_classes: int, stage, guidance_scale: float = 1.0) -> None:
+    """Shared argument validation for conditional sampling surfaces.
+
+    Raises ValueError when ``stage`` is missing/out-of-range for a
+    conditional checkpoint, or when ``stage``/``guidance_scale`` are given
+    for an unconditional one. Without the range check, a negative stage
+    would silently sample the CFG null branch (UNet1d masks labels < 0 to
+    the zero embedding) and an overlarge stage would silently clamp to the
+    last class (flax Embed's out-of-bounds take)."""
+    if num_classes > 0:
+        if stage is None:
+            raise ValueError(
+                f"conditional checkpoint (num_classes={num_classes}): "
+                f"pass stage=0..{num_classes - 1}")
+        if not 0 <= int(stage) < num_classes:
+            raise ValueError(
+                f"stage {stage} out of range 0..{num_classes - 1}")
+    else:
+        if stage is not None:
+            raise ValueError(
+                "stage given but the checkpoint is unconditional "
+                "(config.unet.num_classes=0)")
+        if guidance_scale != 1.0:
+            raise ValueError(
+                "guidance_scale requires a class-conditional checkpoint "
+                "(config.unet.num_classes=0 here) — it would be silently "
+                "ignored")
+
+
 def seed_noise(base_key: jax.Array, seeds: jnp.ndarray, shape: Tuple[int, ...]) -> jnp.ndarray:
     """Per-seed initial noise: vmapped fold_in keeps the per-seed contract
     under any batch split."""

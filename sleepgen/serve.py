@@ -63,14 +63,12 @@ class SamplerService:
         ae_params = ckpt.restore_best(jax.device_get(state0.params_g))
         ckpt.close()
 
+        from sleepgen.train.train_ldm import init_unet_template
+
         lc = aekl_cfg.aekl.latent_channels
         unet = build_unet(cfg, lc, lc, jnp.float32)
-        z0 = jnp.zeros((2, cfg.unet.image_size, lc), jnp.float32)
-        init_args = (jax.random.PRNGKey(0), z0, jnp.zeros((2,), jnp.int32))
-        if cfg.unet.num_classes > 0:  # conditional checkpoint
-            init_args += (jnp.zeros((2,), jnp.int32),)
-        tpl = {"params": jax.device_get(unet.init(*init_args)["params"]),
-            "scale_factor": np.zeros((), np.float32)}
+        tpl = init_unet_template(cfg, unet, (cfg.unet.image_size, lc),
+                                 with_scale_factor=True)
         ckpt2 = CheckpointManager(ldm_run_dir)
         best = ckpt2.restore_best(tpl)
         ckpt2.close()
@@ -80,8 +78,13 @@ class SamplerService:
                    batch_size=batch_size, **kw)
 
     # -- internals -----------------------------------------------------------
-    def _sampler(self, batch: int, guidance_scale: float = 1.0):
-        key = (batch, guidance_scale)
+    def _sampler(self, batch: int, guided: bool = False):
+        # guided samplers take guidance_scale as a *traced* scalar, so one
+        # compiled graph serves every scale — the cache stays bounded at
+        # two entries per batch shape no matter how many scales clients
+        # sweep (a baked-in scale would recompile the 200-step scan each
+        # time and retain every executable forever)
+        key = (batch, guided)
         if key not in self._samplers:
             dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
             ae, _ = build_models(self.aekl_cfg, dtype)
@@ -103,7 +106,7 @@ class SamplerService:
                 border_pad=self.border_pad,
                 sampler=self.cfg.diffusion.sampler, mesh=self.mesh,
                 conditional=self.cfg.unet.num_classes > 0,
-                guidance_scale=guidance_scale)
+                guided=guided)
         return self._samplers[key]
 
     def _ensure_device_params(self):
@@ -145,24 +148,20 @@ class SamplerService:
         Per-seed deterministic (same contract as sample_trials).
 
         ``stage``: class label, required for conditional checkpoints
-        (cfg.unet.num_classes>0). ``guidance_scale>1`` adds classifier-free
-        guidance (one compiled sampler is cached per (batch, scale))."""
+        (cfg.unet.num_classes>0, range-checked). ``guidance_scale>1`` adds
+        classifier-free guidance; the scale is traced, so sweeping scales
+        reuses one compiled sampler (two cache entries per batch shape:
+        plain and guided)."""
+        from sleepgen.sample.samplers import validate_stage
+
         conditional = self.cfg.unet.num_classes > 0
-        if conditional and stage is None:
-            raise ValueError(
-                f"conditional checkpoint (num_classes="
-                f"{self.cfg.unet.num_classes}): pass stage=0.."
-                f"{self.cfg.unet.num_classes - 1}")
-        if not conditional and stage is not None:
-            raise ValueError("stage given but cfg.unet.num_classes=0")
+        validate_stage(self.cfg.unet.num_classes, stage, guidance_scale)
+        guided = conditional and guidance_scale != 1.0
         seeds = np.asarray(list(seeds), np.int32)
         key = base_key if base_key is not None else jax.random.PRNGKey(self.base_seed)
         self._ensure_device_params()
-        sampler = self._sampler(self.batch_size,
-                                guidance_scale if conditional else 1.0)
+        sampler = self._sampler(self.batch_size, guided)
         sf = jnp.float32(self.scale_factor)
-        labels = (jnp.full((self.batch_size,), stage, jnp.int32)
-                  if conditional else None)
         outs = []
         t0 = time.perf_counter()
         for i in range(0, len(seeds), self.batch_size):
@@ -172,7 +171,11 @@ class SamplerService:
                 if len(chunk) < self.batch_size else chunk)
             args = (self.unet_params, self.ae_params, sf, key,
                     jnp.asarray(padded))
-            sig = sampler(*args, labels) if conditional else sampler(*args)
+            if conditional:
+                args += (jnp.full((self.batch_size,), stage, jnp.int32),)
+            if guided:
+                args += (jnp.float32(guidance_scale),)
+            sig = sampler(*args)
             outs.append(np.asarray(jax.device_get(sig))[: len(chunk)])
         out = np.concatenate(outs, axis=0)
         dt = time.perf_counter() - t0

@@ -69,6 +69,26 @@ def build_unet(cfg: Config, in_channels: int, out_channels: int, dtype) -> UNet1
     )
 
 
+def init_unet_template(cfg: Config, unet: UNet1d, sample_shape,
+                       with_scale_factor: bool = False) -> dict:
+    """Host-side checkpoint-restore template for a UNet run dir.
+
+    Initializes the UNet with the conditional-aware argument tuple (a
+    trailing (B,) int32 label batch when ``cfg.unet.num_classes>0``) so the
+    template's param tree matches conditional checkpoints. Shared by every
+    restore surface (sample/impute/serve/warm-cache CLIs) so a conditioning
+    change lands in exactly one place."""
+    rng = jax.random.PRNGKey(0)
+    init_args = (rng, jnp.zeros((2, *sample_shape), jnp.float32),
+                 jnp.zeros((2,), jnp.int32))
+    if cfg.unet.num_classes > 0:
+        init_args += (jnp.zeros((2,), jnp.int32),)
+    tpl = {"params": jax.device_get(unet.init(*init_args)["params"])}
+    if with_scale_factor:
+        tpl["scale_factor"] = np.zeros((), np.float32)
+    return tpl
+
+
 def make_schedule(cfg: Config) -> NoiseSchedule:
     d = cfg.diffusion
     return NoiseSchedule.create(

@@ -303,21 +303,24 @@ def test_conditional_train_ldm_and_guided_mesh_sampler(cond_cfg, cond_ds, tmp_pa
     labels = jnp.asarray(np.arange(8) % N_CLASSES, jnp.int32)
     kw = dict(latent_len=cfg.unet.image_size, latent_channels=1,
               num_inference_steps=4, border_pad=4, conditional=True,
-              guidance_scale=2.0)
+              guided=True)
+    gs = jnp.float32(2.0)
     s1 = make_ldm_sampler(unet, ae, sched, **kw)(
-        params, stage1, jnp.float32(1.0), jax.random.PRNGKey(0), seeds, labels)
+        params, stage1, jnp.float32(1.0), jax.random.PRNGKey(0), seeds,
+        labels, gs)
     s8 = make_ldm_sampler(unet, ae, sched, mesh=make_mesh(), **kw)(
-        params, stage1, jnp.float32(1.0), jax.random.PRNGKey(0), seeds, labels)
+        params, stage1, jnp.float32(1.0), jax.random.PRNGKey(0), seeds,
+        labels, gs)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s8))
 
 
-def test_serve_conditional(tmp_path):
-    """SamplerService on a conditional LDM checkpoint: stage-routed,
-    guidance-keyed sampler cache, per-seed+stage determinism, error paths."""
-    from sleepgen.serve import SamplerService
+@pytest.fixture(scope="module")
+def cond_serve_dirs(tmp_path_factory):
+    """Conditional AEKL+LDM run dirs (config.yaml + best checkpoints)."""
     from sleepgen.train.train_aekl import init_state
     from sleepgen.utils import CheckpointManager
 
+    tmp_path = tmp_path_factory.mktemp("cond_serve")
     acfg = Config()
     acfg.dtype = "float32"
     acfg.aekl.num_channels = [2, 2, 4]
@@ -348,7 +351,15 @@ def test_serve_conditional(tmp_path):
     ck.save_best({"params": jax.device_get(p),
                   "scale_factor": jnp.float32(1.0)})
     ck.close()
+    return arun, lrun
 
+
+def test_serve_conditional(cond_serve_dirs):
+    """SamplerService on a conditional LDM checkpoint: stage-routed,
+    guidance-keyed sampler cache, per-seed+stage determinism, error paths."""
+    from sleepgen.serve import SamplerService
+
+    arun, lrun = cond_serve_dirs
     svc = SamplerService.from_run_dirs(arun, lrun, batch_size=4, border_pad=4)
     with pytest.raises(ValueError):  # conditional service needs a stage
         svc.sample(range(4))
@@ -358,6 +369,62 @@ def test_serve_conditional(tmp_path):
     np.testing.assert_array_equal(svc.sample([1], stage=2)[0], out[1])
     guided = svc.sample(range(4), stage=2, guidance_scale=2.0)
     assert not np.allclose(guided, out)
+    guided3 = svc.sample(range(4), stage=2, guidance_scale=3.0)
+    assert not np.allclose(guided3, guided)
+    # guidance_scale is traced: sweeping scales must reuse ONE compiled
+    # guided sampler (bounded cache: plain + guided per batch shape)
+    assert set(svc._samplers) == {(4, False), (4, True)}
+    # stage range is validated — a negative stage would silently sample
+    # the CFG null branch, an overlarge one would clamp to the last class
+    with pytest.raises(ValueError):
+        svc.sample(range(4), stage=-1)
+    with pytest.raises(ValueError):
+        svc.sample(range(4), stage=N_CLASSES)
+
+
+def test_serve_cli_conditional(cond_serve_dirs, tmp_path, monkeypatch, capsys):
+    """The serve CLI end-to-end on a conditional checkpoint: per-request
+    'stage'/'guidance_scale' JSON fields route through, and a request
+    without a stage reports an error line instead of killing the loop
+    (before round 3 the CLI had no way to pass a stage at all — every
+    post-warmup request raised and crashed the service)."""
+    import io
+    import json
+
+    from sleepgen.cli import serve as serve_cli
+
+    arun, lrun = cond_serve_dirs
+    out = tmp_path / "out"
+    requests = "\n".join([
+        json.dumps({"seeds": [0, 1], "stage": 2}),
+        json.dumps({"seeds": [0, 1]}),  # no stage, no --stage: error line
+        json.dumps({"seeds": [0, 1], "stage": 1, "guidance_scale": 2.0}),
+    ]) + "\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(requests))
+    serve_cli.main(["--best_model_path", str(arun),
+                    "--diffusion_path", str(lrun),
+                    "--output_dir", str(out), "--batch_size", "2"])
+    assert (out / "signals_0.npy").exists()
+    assert not (out / "signals_1.npy").exists()  # errored, loop survived
+    assert (out / "signals_2.npy").exists()
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert any('"error"' in l and '"request": 1' in l for l in lines)
+
+
+def test_validate_stage_contract():
+    """Shared CLI/service validation: missing/out-of-range stages and
+    guidance-on-unconditional are rejected instead of silently degrading
+    (negative stage = CFG null branch, overlarge = Embed clamps to the
+    last class, guidance without classes = no-op)."""
+    from sleepgen.sample.samplers import validate_stage
+
+    validate_stage(5, 0)
+    validate_stage(5, 4, guidance_scale=2.0)
+    validate_stage(0, None)
+    for num_classes, stage, gs in [(5, None, 1.0), (5, -1, 1.0), (5, 5, 1.0),
+                                   (0, 0, 1.0), (0, None, 2.0)]:
+        with pytest.raises(ValueError):
+            validate_stage(num_classes, stage, gs)
 
 
 def test_unconditional_tree_has_no_label_params():
