@@ -1,10 +1,14 @@
 """Imputation quality gate on TPU (beyond parity).
 
-Loads the stage-conditional DM trained by scripts/demo_conditional.py,
-masks a contiguous span of REAL held-out staged epochs, repairs it with
-RePaint masked sampling (samplers.ddpm_inpaint_loop), and scores the
-repair against cheap baselines (linear interpolation, std-matched noise
-fill):
+Default (DM mode): loads the stage-conditional DM trained by
+scripts/demo_conditional.py, masks a contiguous span of REAL held-out
+staged epochs, repairs it with RePaint masked sampling
+(samplers.ddpm_inpaint_loop). With ``--aekl_run`` (LDM mode):
+``--dm_run`` names a flagship train_ldm run dir instead and the repair
+runs in LATENT space through the frozen AEKL (samplers.impute_ldm) on
+held-out synthetic-EEG windows — the same checkpoints sample_trials
+uses double as artifact-repair models. Either way the repair is scored
+against cheap baselines (linear interpolation, std-matched noise fill):
 
   * masked-region log-PSD correlation vs the original span (spectral
     fidelity — the right metric for a generative repair; exact-MSE is
@@ -28,16 +32,22 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dm_run", type=str,
-                   default="/tmp/sleepgen_demo_cond/cond_dm")
+                   default="/tmp/sleepgen_demo_cond/cond_dm",
+                   help="DM run dir; with --aekl_run, an LDM run dir")
+    p.add_argument("--aekl_run", type=str, default=None,
+                   help="AEKL run dir: switches to latent-space (LDM) "
+                        "imputation on synthetic-EEG windows")
     p.add_argument("--out", type=str, default="/tmp/sleepgen_demo_impute")
     p.add_argument("--n_windows", type=int, default=64)
     p.add_argument("--mask_start", type=int, default=1000)
     p.add_argument("--mask_len", type=int, default=1000)
     p.add_argument("--num_resample", type=int, default=1)
+    p.add_argument("--latent_erode", type=int, default=4)
     p.add_argument("--n_recordings", type=int, default=40,
                    help="must match the demo_conditional fixture")
     p.add_argument("--n_epochs_per_rec", type=int, default=60)
     args = p.parse_args()
+    latent_mode = args.aekl_run is not None
 
     import jax
     import jax.numpy as jnp
@@ -46,7 +56,7 @@ def main():
     from sleepgen.data.staging import make_synthetic_staged
     from sleepgen.data.transforms import BORDER_PAD
     from sleepgen.eval.psd import welch_psd
-    from sleepgen.sample.samplers import impute_dm
+    from sleepgen.sample.samplers import impute_dm, impute_ldm
     from sleepgen.train.train_ldm import (build_unet, init_unet_template,
                                           make_schedule)
     from sleepgen.utils import CheckpointManager
@@ -58,32 +68,80 @@ def main():
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    # same hermetic fixture as demo_conditional; impute on the VALID split
-    x, y, rids = make_synthetic_staged(args.n_recordings, args.n_epochs_per_rec)
-    va = rids >= int(args.n_recordings * 0.8)
-    xv, yv = x[va][: args.n_windows], y[va][: args.n_windows]
-    n, length = xv.shape[0], xv.shape[1]
-    start, stop = args.mask_start, min(args.mask_start + args.mask_len, length)
-    print(f"[{time.time()-t0:.0f}s] {n} valid epochs, masking "
-          f"[{start}:{stop}) of {length}", flush=True)
-
     cfg = Config.from_yaml(Path(args.dm_run) / "config.yaml")
     conditional = cfg.unet.num_classes > 0
-    window = cfg.unet.image_size
-    unet = build_unet(cfg, 1, 1, jnp.float32)
-    tpl = init_unet_template(cfg, unet, (window, 1))
-    ck = CheckpointManager(args.dm_run)
-    best = ck.restore_best(tpl, name="final_model")
-    ck.close()
+
+    if latent_mode:
+        # flagship-distribution fixture: held-out synthetic-EEG windows
+        # (the LDM demo runs train on make_synthetic_dataset recordings)
+        from sleepgen.data import WindowDataset, make_synthetic_dataset
+
+        assert not conditional, "LDM demo mode expects an unconditional run"
+        raws = make_synthetic_dataset(args.n_recordings, duration_s=300.0)
+        held_out = raws[int(args.n_recordings * 0.8):]
+        ds = WindowDataset.from_raw(held_out)
+        wins = ds.epoch_windows(np.random.default_rng(0))  # (N, 3072, 1)
+        while len(wins) < args.n_windows:
+            wins = np.concatenate(
+                [wins, ds.epoch_windows(np.random.default_rng(len(wins)))])
+        x_pad = wins[: args.n_windows].astype(np.float32)
+        xv = x_pad[:, BORDER_PAD:-BORDER_PAD]
+        yv = np.zeros((len(xv),), np.int64)  # unused
+    else:
+        # same hermetic fixture as demo_conditional; impute on the VALID split
+        x, y, rids = make_synthetic_staged(args.n_recordings,
+                                           args.n_epochs_per_rec)
+        va = rids >= int(args.n_recordings * 0.8)
+        xv, yv = x[va][: args.n_windows], y[va][: args.n_windows]
+        x_pad = np.pad(xv.astype(np.float32),
+                       ((0, 0), (BORDER_PAD, BORDER_PAD), (0, 0)),
+                       mode="edge")
+    n, length = xv.shape[0], xv.shape[1]
+    start, stop = args.mask_start, min(args.mask_start + args.mask_len, length)
+    print(f"[{time.time()-t0:.0f}s] {n} held-out windows "
+          f"({'ldm' if latent_mode else 'dm'} mode), masking "
+          f"[{start}:{stop}) of {length}", flush=True)
+
+    if latent_mode:
+        from sleepgen.train.train_aekl import build_models, init_state
+
+        aekl_cfg = Config.from_yaml(Path(args.aekl_run) / "config.yaml")
+        window = (cfg.unet.image_size
+                  * 2 ** (len(aekl_cfg.aekl.num_channels) - 1))
+        lc = aekl_cfg.aekl.latent_channels
+        state0, *_ = init_state(aekl_cfg, jax.random.PRNGKey(0))
+        ck = CheckpointManager(args.aekl_run)
+        ae_params = ck.restore_best(jax.device_get(state0.params_g))
+        ck.close()
+        ae, _ = build_models(aekl_cfg, jnp.float32)
+        unet = build_unet(cfg, lc, lc, jnp.float32)
+        tpl = init_unet_template(cfg, unet, (cfg.unet.image_size, lc),
+                                 with_scale_factor=True)
+        ck = CheckpointManager(args.dm_run)
+        best = ck.restore_best(tpl)
+        ck.close()
+        scale_factor = float(best["scale_factor"])
+    else:
+        window = cfg.unet.image_size
+        unet = build_unet(cfg, 1, 1, jnp.float32)
+        tpl = init_unet_template(cfg, unet, (window, 1))
+        ck = CheckpointManager(args.dm_run)
+        best = ck.restore_best(tpl, name="final_model")
+        ck.close()
     sched = make_schedule(cfg)
 
-    x_pad = np.pad(xv.astype(np.float32),
-                   ((0, 0), (BORDER_PAD, BORDER_PAD), (0, 0)), mode="edge")
+    assert x_pad.shape[1] == window, (x_pad.shape, window)
     mask = np.ones((1, window, 1), np.float32)
     mask[:, BORDER_PAD + start : BORDER_PAD + stop, :] = 0.0
 
     @jax.jit
     def repair(params, xb, yb, key):
+        if latent_mode:
+            return impute_ldm(unet, ae, params, ae_params,
+                              jnp.float32(scale_factor), sched, xb,
+                              jnp.asarray(mask), key,
+                              num_resample=args.num_resample,
+                              latent_erode=args.latent_erode)
         return impute_dm(unet, params, sched, xb, jnp.asarray(mask), key,
                          labels=yb if conditional else None,
                          num_resample=args.num_resample)
@@ -155,11 +213,14 @@ def main():
         return float(np.mean(np.stack(jumps)) / step)
 
     report = {
+        "mode": "ldm_latent" if latent_mode else "dm_signal",
         "dm_run": str(args.dm_run),
+        "aekl_run": args.aekl_run,
         "conditional": conditional,
         "n_windows": n,
         "mask": [start, stop],
         "num_resample": args.num_resample,
+        "latent_erode": args.latent_erode if latent_mode else None,
         "psd_corr_masked_span": {
             "diffusion": span_psd_corr(imputed, orig),
             "linear_interp": span_psd_corr(lin, orig),

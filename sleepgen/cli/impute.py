@@ -1,11 +1,20 @@
 """CLI: diffusion-based imputation of masked signal regions (beyond parity).
 
-Repairs a contiguous masked span of 30 s windows with a trained
-signal-space DM (``train_pure_ldm`` checkpoints, optionally
-stage-conditional) via RePaint masked ancestral sampling
-(``sleepgen.sample.samplers.ddpm_inpaint_loop``). The reference has no
-imputation path — its DM checkpoints only draw unconditional windows
-(``src/sample_trials_ddpm.py``); here the same weights repair artifacts.
+Repairs a contiguous masked span of 30 s windows via RePaint masked
+ancestral sampling. Two modes, selected by the checkpoints you point it at:
+
+- **signal-space DM** (default): ``--diffusion_path`` is a
+  ``train_pure_ldm`` run dir; the chain runs at full signal length
+  (``samplers.impute_dm``).
+- **latent LDM**: additionally pass ``--best_model_path`` (the trained
+  AEKL run dir, as for sample_trials) and ``--diffusion_path`` a
+  ``train_ldm`` run dir; the chain runs in the 4x-shorter latent space
+  and observed samples are spliced back exactly in signal space
+  (``samplers.impute_ldm``). The flagship generation checkpoints double
+  as artifact-repair models with no retraining.
+
+The reference has no imputation path — its checkpoints only draw
+unconditional windows (``src/sample_trials_ddpm.py``).
 
 Input: a ``.npy`` of windows shaped (N, 3000), (N, 1, 3000) or
 (N, 3000, C) in the pipeline's normalized units. Output: the same
@@ -22,7 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", type=str, required=True,
                    help=".npy of windows to repair")
     p.add_argument("--diffusion_path", type=str, required=True,
-                   help="trained DM run dir (train_pure_ldm)")
+                   help="trained diffusion run dir (train_pure_ldm, or "
+                        "train_ldm with --best_model_path)")
+    p.add_argument("--best_model_path", type=str, default=None,
+                   help="trained AEKL run dir: switches to latent-space "
+                        "(LDM) imputation with the sample_trials checkpoints")
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--mask_start", type=int, required=True,
                    help="first masked sample (0..2999, 100 Hz)")
@@ -31,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stage label for conditional checkpoints")
     p.add_argument("--num_resample", type=int, default=1,
                    help="RePaint resampling count (boundary harmonization)")
+    p.add_argument("--latent_erode", type=int, default=4,
+                   help="LDM mode: latent anchor-mask erosion (receptive-"
+                        "field guard), in latent positions per side")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -48,7 +64,7 @@ def main(argv=None):
 
     from sleepgen.config import Config
     from sleepgen.data.transforms import BORDER_PAD
-    from sleepgen.sample.samplers import impute_dm, validate_stage
+    from sleepgen.sample.samplers import impute_dm, impute_ldm, validate_stage
     from sleepgen.train.train_ldm import (build_unet, init_unet_template,
                                           make_schedule)
     from sleepgen.utils import CheckpointManager
@@ -60,6 +76,7 @@ def main(argv=None):
         validate_stage(cfg.unet.num_classes, args.stage)
     except ValueError as e:
         raise SystemExit(str(e))
+    latent_mode = args.best_model_path is not None
 
     x = np.load(args.input)
     if x.ndim == 2:  # (N, L)
@@ -67,10 +84,39 @@ def main(argv=None):
     elif x.ndim == 3 and x.shape[1] == 1 and x.shape[2] > x.shape[1]:
         x = np.transpose(x, (0, 2, 1))  # (N, 1, L) -> (N, L, 1)
     n, length, ch = x.shape
-    window = cfg.unet.image_size
+
+    if latent_mode:
+        from sleepgen.train.train_aekl import build_models, init_state
+
+        aekl_cfg = Config.from_yaml(Path(args.best_model_path) / "config.yaml")
+        # cfg.unet.image_size is the LATENT length here; the signal window
+        # rebuilds from the AEKL's downsample count (as in warm_cache)
+        window = (cfg.unet.image_size
+                  * 2 ** (len(aekl_cfg.aekl.num_channels) - 1))
+        lc = aekl_cfg.aekl.latent_channels
+        state0, *_ = init_state(aekl_cfg, jax.random.PRNGKey(0))
+        ck = CheckpointManager(args.best_model_path)
+        ae_params = ck.restore_best(jax.device_get(state0.params_g))
+        ck.close()
+        ae, _ = build_models(aekl_cfg, jnp.float32)
+        unet = build_unet(cfg, lc, lc, jnp.float32)
+        tpl = init_unet_template(cfg, unet, (cfg.unet.image_size, lc),
+                                 with_scale_factor=True)
+        ckpt = CheckpointManager(args.diffusion_path)
+        best = ckpt.restore_best(tpl)
+        ckpt.close()
+        scale_factor = float(best["scale_factor"])
+    else:
+        window = cfg.unet.image_size
+        unet = build_unet(cfg, ch, ch, jnp.float32)
+        tpl = init_unet_template(cfg, unet, (window, ch))
+        ckpt = CheckpointManager(args.diffusion_path)
+        best = ckpt.restore_best(tpl, name="final_model")
+        ckpt.close()
+
     assert length + 2 * BORDER_PAD == window, (
         f"window length {length} + 2*{BORDER_PAD} pad must equal the "
-        f"checkpoint's image_size {window}")
+        f"checkpoint's signal window {window}")
     assert 0 <= args.mask_start < length and args.mask_len > 0
     stop = min(args.mask_start + args.mask_len, length)
 
@@ -79,11 +125,6 @@ def main(argv=None):
     mask = np.ones((1, window, 1), np.float32)  # 1 = observed
     mask[:, BORDER_PAD + args.mask_start : BORDER_PAD + stop, :] = 0.0
 
-    unet = build_unet(cfg, ch, ch, jnp.float32)
-    tpl = init_unet_template(cfg, unet, (window, ch))
-    ckpt = CheckpointManager(args.diffusion_path)
-    best = ckpt.restore_best(tpl, name="final_model")
-    ckpt.close()
     sched = make_schedule(cfg)
 
     bs = args.batch_size
@@ -92,6 +133,12 @@ def main(argv=None):
     def repair(params, xb, key):
         y = (jnp.full((xb.shape[0],), args.stage, jnp.int32)
              if conditional else None)
+        if latent_mode:
+            return impute_ldm(unet, ae, params, ae_params,
+                              jnp.float32(scale_factor), sched, xb,
+                              jnp.asarray(mask), key, labels=y,
+                              num_resample=args.num_resample,
+                              latent_erode=args.latent_erode)
         return impute_dm(unet, params, sched, xb, jnp.asarray(mask), key,
                          labels=y, num_resample=args.num_resample)
 

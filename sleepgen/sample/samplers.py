@@ -190,6 +190,85 @@ def impute_dm(
                              num_resample=num_resample)
 
 
+def latent_observed_mask(mask: jnp.ndarray, latent_len: int,
+                         erode: int = 4) -> jnp.ndarray:
+    """Signal-space observed-mask (B, L, 1) -> latent anchor mask
+    (B, latent_len, 1), conservatively.
+
+    A latent position counts as observed only if EVERY signal sample it
+    covers is observed (min over each length-(L/latent_len) group), and
+    the observed region is then eroded by ``erode`` further latent
+    positions on each side: the stage-1 encoder's receptive field is much
+    wider than its stride, so latents adjacent to the masked span are
+    contaminated by the (arbitrary) masked content and must not be used
+    as RePaint anchors. Erosion only ever *widens* the generated region —
+    exactness of observed samples comes from the signal-space splice in
+    :func:`impute_ldm`, not from this mask."""
+    m = jnp.asarray(mask, jnp.float32)
+    L = m.shape[-2]
+    assert L % latent_len == 0, (L, latent_len)
+    f = L // latent_len
+    m = jnp.min(m[..., 0].reshape(*m.shape[:-2], latent_len, f), axis=-1)
+    if erode > 0:
+        m = jax.lax.reduce_window(
+            m, 1.0, jax.lax.min,
+            window_dimensions=(1,) * (m.ndim - 1) + (2 * erode + 1,),
+            window_strides=(1,) * m.ndim, padding="SAME")
+    return m[..., None]
+
+
+def impute_ldm(
+    unet,
+    ae,
+    unet_params,
+    ae_params,
+    scale_factor,
+    sched,
+    x_known: jnp.ndarray,
+    mask: jnp.ndarray,
+    base_key: jax.Array,
+    labels: jnp.ndarray | None = None,
+    num_resample: int = 1,
+    latent_erode: int = 4,
+):
+    """RePaint imputation in LDM *latent* space (beyond parity).
+
+    The flagship two-stage pipeline repairs masked spans with the SAME
+    trained checkpoints that sample_trials uses: the observed window is
+    encoded through the frozen stage-1 posterior mean (the deterministic
+    branch, as in ``reconstruct`` — reference compute_mmds.py:495), masked
+    ancestral sampling runs in latent space (4x shorter sequence, the
+    operating point the LDM UNet was trained at), the result is decoded,
+    and the observed samples are spliced back EXACTLY in signal space.
+
+    ``mask`` is 1 = observed in signal space, broadcastable to
+    ``x_known``'s (B, L, 1). The latent anchor mask is its conservative
+    downsample eroded by ``latent_erode`` positions
+    (:func:`latent_observed_mask`); whatever values sit inside the masked
+    span of ``x_known`` only influence (eroded-away) contaminated latents,
+    never the output's observed region. ``clip_sample`` is off in the
+    latent chain — latents are unbounded, unlike [0,1] signals.
+    """
+    from sleepgen.nn import AutoencoderKL
+
+    mask = jnp.asarray(mask, jnp.float32)
+    z_mu, _ = ae.apply({"params": ae_params}, x_known,
+                       method=AutoencoderKL.encode)
+    z_known = z_mu.astype(jnp.float32) * scale_factor
+    m_lat = latent_observed_mask(mask, z_known.shape[-2], latent_erode)
+
+    def model_fn(z, t):
+        if labels is None:
+            return unet.apply({"params": unet_params}, z, t)
+        return unet.apply({"params": unet_params}, z, t, labels)
+
+    z = ddpm_inpaint_loop(model_fn, sched, z_known, m_lat, base_key,
+                          num_resample=num_resample, clip_sample=False)
+    x_dec = ae.apply({"params": ae_params}, z / scale_factor,
+                     method=AutoencoderKL.decode_stage_2_outputs)
+    return mask * x_known + (1.0 - mask) * x_dec.astype(jnp.float32)
+
+
 def sample_dm_conditional(
     unet,
     params,

@@ -106,6 +106,125 @@ def test_impute_resampling_and_conditional(small_dm):
     assert np.isfinite(np.asarray(rc)).all()
 
 
+@pytest.fixture(scope="module")
+def small_ldm_dirs(tmp_path_factory):
+    """Unconditional AEKL+LDM run dirs with a tiny diffusion chain, plus
+    the live modules/params for direct impute_ldm calls."""
+    from sleepgen.train.train_aekl import build_models, init_state
+    from sleepgen.utils import CheckpointManager
+
+    tmp_path = tmp_path_factory.mktemp("impute_ldm")
+    acfg = Config()
+    acfg.dtype = "float32"
+    acfg.aekl.num_channels = [2, 2, 4]
+    acfg.aekl.latent_channels = 1
+    arun = tmp_path / "aekl"
+    arun.mkdir()
+    acfg.to_yaml(arun / "config.yaml")
+    st, *_ = init_state(acfg, jax.random.PRNGKey(0), window=WINDOW)
+    ae_params = jax.device_get(st.params_g)
+    ck = CheckpointManager(arun)
+    ck.save_best(ae_params)
+    ck.close()
+    ae, _ = build_models(acfg, jnp.float32)
+
+    cfg = Config()
+    cfg.dtype = "float32"
+    cfg.unet.model_channels = 16
+    cfg.unet.norm_num_groups = 8
+    cfg.unet.channel_mult = [1, 2]
+    cfg.unet.attention_resolutions = [2]
+    cfg.unet.image_size = WINDOW // 4  # two stride-2 downsamples
+    cfg.diffusion.timesteps = 8  # the RePaint loop runs all T steps
+    lrun = tmp_path / "ldm"
+    lrun.mkdir()
+    cfg.to_yaml(lrun / "config.yaml")
+    unet = build_unet(cfg, 1, 1, jnp.float32)
+    params = unet.init(jax.random.PRNGKey(1),
+                       jnp.zeros((2, WINDOW // 4, 1), jnp.float32),
+                       jnp.zeros((2,), jnp.int32))["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.01 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
+    ck = CheckpointManager(lrun)
+    ck.save_best({"params": jax.device_get(params),
+                  "scale_factor": jnp.float32(1.0)})
+    ck.close()
+    return arun, lrun, ae, ae_params, unet, params, make_schedule(cfg)
+
+
+def test_latent_observed_mask_semantics():
+    """Conservative downsample + erosion: a latent is an anchor only if
+    every signal sample it covers is observed AND it sits >= erode
+    positions away from any generated latent."""
+    from sleepgen.sample.samplers import latent_observed_mask
+
+    m = np.ones((1, 64, 1), np.float32)
+    m[:, 17:31, :] = 0.0  # straddles latent groups 4..7 (factor 4)
+    out = np.asarray(latent_observed_mask(m, 16, erode=0))[0, :, 0]
+    expect = np.ones(16, np.float32)
+    expect[4:8] = 0.0  # group 4 (samples 16-19) is partially masked
+    np.testing.assert_array_equal(out, expect)
+    out2 = np.asarray(latent_observed_mask(m, 16, erode=2))[0, :, 0]
+    expect2 = np.ones(16, np.float32)
+    expect2[2:10] = 0.0  # eroded 2 positions each side
+    np.testing.assert_array_equal(out2, expect2)
+    # erosion only widens the generated region
+    assert (out2 <= out).all()
+
+
+def test_impute_ldm_preserves_known_and_fills_masked(small_ldm_dirs):
+    from sleepgen.sample.samplers import impute_ldm
+
+    _, _, ae, ae_params, unet, params, sched = small_ldm_dirs
+    x = jnp.asarray(np.sin(np.linspace(0, 20, WINDOW, dtype=np.float32))
+                    )[None, :, None].repeat(3, 0) * 0.4 + 0.5
+    mask = _mask(100, 180)
+    key = jax.random.PRNGKey(0)
+    out = np.asarray(impute_ldm(unet, ae, params, ae_params,
+                                jnp.float32(1.0), sched, x, mask, key))
+    # observed region is EXACT (signal-space splice), masked regenerated
+    np.testing.assert_array_equal(out[:, :100], np.asarray(x)[:, :100])
+    np.testing.assert_array_equal(out[:, 180:], np.asarray(x)[:, 180:])
+    assert not np.allclose(out[:, 100:180], np.asarray(x)[:, 100:180])
+    assert np.isfinite(out).all()
+    # deterministic under the same key
+    out_b = np.asarray(impute_ldm(unet, ae, params, ae_params,
+                                  jnp.float32(1.0), sched, x, mask, key))
+    np.testing.assert_array_equal(out, out_b)
+    # context-dependent: a different observed signal changes the repair
+    out_c = np.asarray(impute_ldm(unet, ae, params, ae_params,
+                                  jnp.float32(1.0), sched, 1.0 - x, mask,
+                                  key))
+    assert not np.allclose(out[:, 100:180], out_c[:, 100:180])
+
+
+def test_impute_cli_latent_mode(small_ldm_dirs, tmp_path):
+    """--best_model_path switches the CLI to LDM latent-space repair."""
+    from sleepgen.cli.impute import main as impute_main
+
+    arun, lrun, *_ = small_ldm_dirs
+    length = WINDOW - 72  # CLI pads by BORDER_PAD=36 per side
+    rng = np.random.default_rng(0)
+    windows = rng.standard_normal((5, 1, length)).astype(np.float32)
+    inp = tmp_path / "in.npy"
+    np.save(inp, windows)
+    out = tmp_path / "fixed"
+    impute_main(["--input", str(inp), "--diffusion_path", str(lrun),
+                 "--best_model_path", str(arun),
+                 "--output_dir", str(out), "--mask_start", "60",
+                 "--mask_len", "50", "--batch_size", "4",
+                 "--latent_erode", "2"])
+    fixed = np.load(out / "imputed.npy")
+    mask = np.load(out / "mask.npy")
+    assert fixed.shape == (5, 1, length) and np.isfinite(fixed).all()
+    assert mask.shape == (length,) and (~mask[60:110]).all() and mask[:60].all()
+    np.testing.assert_array_equal(fixed[:, 0, :60], windows[:, 0, :60])
+    assert not np.allclose(fixed[:, 0, 60:110], windows[:, 0, 60:110])
+
+
 def test_impute_cli(small_dm, tmp_path):
     """Drive the CLI end to end on a random-init checkpoint."""
     from sleepgen.cli.impute import main as impute_main
