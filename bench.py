@@ -37,11 +37,19 @@ STEPS = 200
 LATENT_LEN = 768
 LATENT_CH = 1
 
+# supervision knobs (see _supervised)
+CONTACT_DEADLINE = 300  # wedged attempts (no TPU_CONTACT_OK) die here
+FULL_BUDGET = 2400      # post-contact budget (slow cold compiles)
+ATTEMPTS = 6
+POLL_S = 5.0
+
 
 def main():
-    from sleepgen.utils.profiling import enable_compilation_cache
+    from sleepgen.utils.profiling import tpu_contact
 
-    enable_compilation_cache()
+    # prints TPU_CONTACT_OK after the first trivial device op — the
+    # supervisor uses it to kill wedged-at-first-request attempts early
+    tpu_contact()
     cfg = Config()
     cfg.aekl.num_channels = [32, 32, 64]
     cfg.aekl.latent_channels = LATENT_CH
@@ -95,33 +103,62 @@ def _supervised():
     The device relay occasionally wedges a fresh client forever at its
     first request (see scripts/run_with_tpu_retry.sh); a retry in a new
     process succeeds. The bench is the round's headline metric, so it
-    protects itself: up to 3 attempts, each with a generous budget for
-    the cold 200-step-scan compile."""
+    protects itself with the same two-phase supervision as the retry
+    script: a wedged attempt never prints TPU_CONTACT_OK (main() does a
+    trivial device op first), so it is killed after CONTACT_DEADLINE
+    instead of burning the full budget — that lets the attempt count be
+    high enough to ride out a string of wedges without risking a
+    legitimately slow cold run (measured worst case: ~5 min cold
+    200-step-scan compile + ~885 s early-session dispatch latency)."""
+    import os
+    import sys
+
+    _supervise([sys.executable, os.path.abspath(__file__)])
+
+
+def _supervise(child_cmd):
     import os
     import subprocess
     import sys
+    import tempfile
 
     env = dict(os.environ, SLEEPGEN_BENCH_CHILD="1")
-    for attempt in range(3):
-        try:
-            # budget: measured worst cases are ~5 min for the cold 200-step
-            # scan compile PLUS ~885 s of early-session dispatch latency on
-            # a fresh backend (NOTES_NEXT_ROUND.md) — 900 s left only ~15 s
-            # of margin, so a legitimately slow cold attempt got killed
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=2400)
-        except subprocess.TimeoutExpired:
-            print(f"bench attempt {attempt + 1} timed out; retrying",
-                  file=sys.stderr, flush=True)
-            continue
-        for line in proc.stdout.splitlines():
-            if '"metric"' in line:
-                print(line)
-                return
-        print(f"bench attempt {attempt + 1} rc={proc.returncode}: "
-              f"{proc.stderr.strip()[-500:]}", file=sys.stderr, flush=True)
-    raise SystemExit("bench failed after 3 attempts")
+    for attempt in range(ATTEMPTS):
+        with tempfile.TemporaryFile(mode="w+") as out_f, \
+                tempfile.TemporaryFile(mode="w+") as err_f:
+            proc = subprocess.Popen(child_cmd, env=env,
+                                    stdout=out_f, stderr=err_f, text=True)
+            deadline = time.monotonic() + CONTACT_DEADLINE
+            contact = False
+            rc = None
+            while True:
+                rc = proc.poll()
+                if rc is not None:
+                    break
+                out_f.seek(0)
+                if not contact and "TPU_CONTACT_OK" in out_f.read():
+                    contact = True
+                    deadline = time.monotonic() + FULL_BUDGET
+                if time.monotonic() > deadline:
+                    proc.kill()
+                    proc.wait()
+                    print(f"bench attempt {attempt + 1} "
+                          f"{'timed out' if contact else 'never contacted the TPU'}"
+                          f" ({FULL_BUDGET if contact else CONTACT_DEADLINE}s);"
+                          f" retrying", file=sys.stderr, flush=True)
+                    break
+                time.sleep(POLL_S)
+            if rc is None:  # killed above
+                continue
+            out_f.seek(0)
+            for line in out_f.read().splitlines():
+                if '"metric"' in line:
+                    print(line)
+                    return
+            err_f.seek(0)
+            print(f"bench attempt {attempt + 1} rc={rc}: "
+                  f"{err_f.read().strip()[-500:]}", file=sys.stderr, flush=True)
+    raise SystemExit(f"bench failed after {ATTEMPTS} attempts")
 
 
 if __name__ == "__main__":
