@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask_len", type=int, required=True)
     p.add_argument("--stage", type=int, default=None,
                    help="stage label for conditional checkpoints")
+    p.add_argument("--guidance_scale", type=float, default=1.0,
+                   help="classifier-free guidance for the repair (>1 needs "
+                        "a conditional checkpoint trained with "
+                        "cond_dropout_prob > 0)")
     p.add_argument("--num_resample", type=int, default=1,
                    help="RePaint resampling count (boundary harmonization)")
     p.add_argument("--latent_erode", type=int, default=4,
@@ -73,7 +77,7 @@ def main(argv=None):
     cfg = Config.from_yaml(Path(args.diffusion_path) / "config.yaml")
     conditional = cfg.unet.num_classes > 0
     try:
-        validate_stage(cfg.unet.num_classes, args.stage)
+        validate_stage(cfg.unet.num_classes, args.stage, args.guidance_scale)
     except ValueError as e:
         raise SystemExit(str(e))
     latent_mode = args.best_model_path is not None
@@ -138,9 +142,11 @@ def main(argv=None):
                               jnp.float32(scale_factor), sched, xb,
                               jnp.asarray(mask), key, labels=y,
                               num_resample=args.num_resample,
-                              latent_erode=args.latent_erode)
+                              latent_erode=args.latent_erode,
+                              guidance_scale=args.guidance_scale)
         return impute_dm(unet, params, sched, xb, jnp.asarray(mask), key,
-                         labels=y, num_resample=args.num_resample)
+                         labels=y, num_resample=args.num_resample,
+                         guidance_scale=args.guidance_scale)
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -170,6 +170,28 @@ def ddpm_inpaint_loop(
     return mask * x_known + (1.0 - mask) * x
 
 
+def _cond_model_fn(unet, params, labels, guidance_scale):
+    """Model closure shared by the imputation paths: plain, conditional,
+    or classifier-free-guided (null branch fused into one 2B-batch apply,
+    same recipe as sample_dm_conditional)."""
+    if labels is None:
+        def model_fn(x, t):
+            return unet.apply({"params": params}, x, t)
+    elif guidance_scale == 1.0:
+        def model_fn(x, t):
+            return unet.apply({"params": params}, x, t, labels)
+    else:
+        y2 = jnp.concatenate([labels, jnp.full_like(labels, -1)])
+
+        def model_fn(x, t):
+            v2 = unet.apply({"params": params}, jnp.concatenate([x, x]),
+                            jnp.concatenate([t, t]), y2)
+            v_c, v_n = jnp.split(v2, 2)
+            return v_n + guidance_scale * (v_c - v_n)
+
+    return model_fn
+
+
 def impute_dm(
     unet,
     params,
@@ -179,13 +201,13 @@ def impute_dm(
     base_key: jax.Array,
     labels: jnp.ndarray | None = None,
     num_resample: int = 1,
+    guidance_scale: float = 1.0,
 ):
     """Impute the masked-out region of ``x_known`` with a trained
-    signal-space DM (optionally stage-conditional via ``labels``)."""
-
-    def model_fn(x, t):
-        return unet.apply({"params": params}, x, t, labels)
-
+    signal-space DM (optionally stage-conditional via ``labels``;
+    ``guidance_scale>1`` applies classifier-free guidance to the repair —
+    requires a model trained with cond_dropout_prob > 0)."""
+    model_fn = _cond_model_fn(unet, params, labels, guidance_scale)
     return ddpm_inpaint_loop(model_fn, sched, x_known, mask, base_key,
                              num_resample=num_resample)
 
@@ -230,6 +252,7 @@ def impute_ldm(
     labels: jnp.ndarray | None = None,
     num_resample: int = 1,
     latent_erode: int = 4,
+    guidance_scale: float = 1.0,
 ):
     """RePaint imputation in LDM *latent* space (beyond parity).
 
@@ -256,12 +279,7 @@ def impute_ldm(
                        method=AutoencoderKL.encode)
     z_known = z_mu.astype(jnp.float32) * scale_factor
     m_lat = latent_observed_mask(mask, z_known.shape[-2], latent_erode)
-
-    def model_fn(z, t):
-        if labels is None:
-            return unet.apply({"params": unet_params}, z, t)
-        return unet.apply({"params": unet_params}, z, t, labels)
-
+    model_fn = _cond_model_fn(unet, unet_params, labels, guidance_scale)
     z = ddpm_inpaint_loop(model_fn, sched, z_known, m_lat, base_key,
                           num_resample=num_resample, clip_sample=False)
     x_dec = ae.apply({"params": ae_params}, z / scale_factor,

@@ -99,11 +99,25 @@ def test_impute_resampling_and_conditional(small_dm):
                            jnp.zeros((2, WINDOW, 1), jnp.float32),
                            jnp.zeros((2,), jnp.int32),
                            jnp.zeros((2,), jnp.int32))["params"]
+    # perturb: zero-init out conv would make cond == guided trivially
+    leaves, treedef = jax.tree_util.tree_flatten(params_c)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params_c = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.01 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
     sched_c = make_schedule(cfg2)
     y = jnp.array([0, 3], jnp.int32)
     rc = impute_dm(unet_c, params_c, sched_c, x, mask, jax.random.PRNGKey(0),
                    labels=y)
     assert np.isfinite(np.asarray(rc)).all()
+    # classifier-free-guided repair: same key, different score -> a
+    # different (finite) fill, exact on the observed region
+    rg = impute_dm(unet_c, params_c, sched_c, x, mask, jax.random.PRNGKey(0),
+                   labels=y, guidance_scale=2.0)
+    rg = np.asarray(rg)
+    assert np.isfinite(rg).all()
+    assert not np.allclose(rg[:, :128], np.asarray(rc)[:, :128])
+    np.testing.assert_array_equal(rg[:, 128:], np.asarray(x)[:, 128:])
 
 
 @pytest.fixture(scope="module")
