@@ -76,5 +76,8 @@ def test_warm_cache_cli_conditional(tmp_path):
              "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
              "JAX_COMPILATION_CACHE_DIR": str(tmp_path / "cache")})
     assert proc.returncode == 0, proc.stderr[-2000:]
-    for label in ["ldm train step", "ddim-4 sampler batch 4"]:
+    # the guided (CFG) graph is precompiled too — one traced-scale graph
+    # covers every guidance_scale a client might request
+    for label in ["ldm train step", "ddim-4 sampler batch 4",
+                  "ddim-4 guided sampler batch 4"]:
         assert f"warmed {label}" in proc.stdout, proc.stdout
