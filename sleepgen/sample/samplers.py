@@ -314,18 +314,5 @@ def sample_dm_conditional(
     Requires a model trained with ``train.cond_dropout_prob > 0``.
     """
     x_T = seed_noise(base_key, seeds, (window, 1))
-
-    if guidance_scale == 1.0:
-        def model_fn(x, t):
-            return unet.apply({"params": params}, x, t, labels)
-    else:
-        y2 = jnp.concatenate([labels, jnp.full_like(labels, -1)])
-
-        def model_fn(x, t):
-            x2 = jnp.concatenate([x, x])
-            t2 = jnp.concatenate([t, t]) if t.ndim else t
-            v2 = unet.apply({"params": params}, x2, t2, y2)
-            v_c, v_n = jnp.split(v2, 2)
-            return v_n + guidance_scale * (v_c - v_n)
-
+    model_fn = _cond_model_fn(unet, params, labels, guidance_scale)
     return ddim_sample_loop(model_fn, sched, x_T, num_steps)
