@@ -22,8 +22,8 @@ def fast_knobs(monkeypatch):
     # deadlines must absorb python-startup latency under full-suite CPU
     # load (a 2 s contact deadline flaked when the suite ran in parallel)
     monkeypatch.setattr(bench, "CONTACT_DEADLINE", 10)
-    monkeypatch.setattr(bench, "FULL_BUDGET", 15)
-    monkeypatch.setattr(bench, "ATTEMPTS", 3)
+    monkeypatch.setattr(bench, "FULL_BUDGET", 8)
+    monkeypatch.setattr(bench, "ATTEMPTS", 2)
     monkeypatch.setattr(bench, "POLL_S", 0.1)
 
 
@@ -69,7 +69,7 @@ def test_gives_up_after_attempts(tmp_path, capsys):
     body = "import time\ntime.sleep(60)\n"
     with pytest.raises(SystemExit):
         bench._supervise(_stub(tmp_path, body))
-    assert capsys.readouterr().err.count("never contacted") == 3
+    assert capsys.readouterr().err.count("never contacted") == 2
 
 
 def test_nonzero_exit_is_reported_and_retried(tmp_path, capsys):
