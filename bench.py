@@ -124,19 +124,29 @@ def _supervise(child_cmd):
 
     env = dict(os.environ, SLEEPGEN_BENCH_CHILD="1")
     for attempt in range(ATTEMPTS):
-        with tempfile.TemporaryFile(mode="w+") as out_f, \
-                tempfile.TemporaryFile(mode="w+") as err_f:
-            proc = subprocess.Popen(child_cmd, env=env,
-                                    stdout=out_f, stderr=err_f, text=True)
+        # The child gets its OWN handles; the parent polls through separate
+        # read-only opens of the same paths. Reading through the child's
+        # handle would move the shared dup'd-fd offset and the child's next
+        # write would land mid-file, corrupting the metric line.
+        with tempfile.TemporaryDirectory() as td:
+            out_path = os.path.join(td, "out")
+            err_path = os.path.join(td, "err")
+            with open(out_path, "w") as out_f, open(err_path, "w") as err_f:
+                proc = subprocess.Popen(child_cmd, env=env,
+                                        stdout=out_f, stderr=err_f, text=True)
             deadline = time.monotonic() + CONTACT_DEADLINE
             contact = False
             rc = None
+
+            def _read(path):
+                with open(path) as f:
+                    return f.read()
+
             while True:
                 rc = proc.poll()
                 if rc is not None:
                     break
-                out_f.seek(0)
-                if not contact and "TPU_CONTACT_OK" in out_f.read():
+                if not contact and "TPU_CONTACT_OK" in _read(out_path):
                     contact = True
                     deadline = time.monotonic() + FULL_BUDGET
                 if time.monotonic() > deadline:
@@ -150,14 +160,13 @@ def _supervise(child_cmd):
                 time.sleep(POLL_S)
             if rc is None:  # killed above
                 continue
-            out_f.seek(0)
-            for line in out_f.read().splitlines():
+            for line in _read(out_path).splitlines():
                 if '"metric"' in line:
                     print(line)
                     return
-            err_f.seek(0)
             print(f"bench attempt {attempt + 1} rc={rc}: "
-                  f"{err_f.read().strip()[-500:]}", file=sys.stderr, flush=True)
+                  f"{_read(err_path).strip()[-500:]}", file=sys.stderr,
+                  flush=True)
     raise SystemExit(f"bench failed after {ATTEMPTS} attempts")
 
 

@@ -57,9 +57,7 @@ def main():
     from sleepgen.data.transforms import BORDER_PAD
     from sleepgen.eval.psd import welch_psd
     from sleepgen.sample.samplers import impute_dm, impute_ldm
-    from sleepgen.train.train_ldm import (build_unet, init_unet_template,
-                                          make_schedule)
-    from sleepgen.utils import CheckpointManager
+    from sleepgen.train.train_ldm import make_schedule
     from sleepgen.utils.profiling import enable_compilation_cache, tpu_contact
 
     enable_compilation_cache()
@@ -98,36 +96,32 @@ def main():
                        mode="edge")
     n, length = xv.shape[0], xv.shape[1]
     start, stop = args.mask_start, min(args.mask_start + args.mask_len, length)
+    # validate BEFORE the expensive chain runs: an out-of-range start would
+    # mask nothing, burn the full T-step repair, then IndexError in metrics
+    assert 0 <= start < length and args.mask_len > 0, (start, args.mask_len,
+                                                       length)
     print(f"[{time.time()-t0:.0f}s] {n} held-out windows "
           f"({'ldm' if latent_mode else 'dm'} mode), masking "
           f"[{start}:{stop}) of {length}", flush=True)
 
     if latent_mode:
-        from sleepgen.train.train_aekl import build_models, init_state
+        from sleepgen.train.train_aekl import restore_aekl_run
+        from sleepgen.train.train_ldm import restore_unet_run
 
-        aekl_cfg = Config.from_yaml(Path(args.aekl_run) / "config.yaml")
+        aekl_cfg, ae, ae_params = restore_aekl_run(args.aekl_run)
         window = (cfg.unet.image_size
                   * 2 ** (len(aekl_cfg.aekl.num_channels) - 1))
         lc = aekl_cfg.aekl.latent_channels
-        state0, *_ = init_state(aekl_cfg, jax.random.PRNGKey(0))
-        ck = CheckpointManager(args.aekl_run)
-        ae_params = ck.restore_best(jax.device_get(state0.params_g))
-        ck.close()
-        ae, _ = build_models(aekl_cfg, jnp.float32)
-        unet = build_unet(cfg, lc, lc, jnp.float32)
-        tpl = init_unet_template(cfg, unet, (cfg.unet.image_size, lc),
-                                 with_scale_factor=True)
-        ck = CheckpointManager(args.dm_run)
-        best = ck.restore_best(tpl)
-        ck.close()
+        unet, best = restore_unet_run(cfg, args.dm_run, lc, lc,
+                                      with_scale_factor=True)
         scale_factor = float(best["scale_factor"])
     else:
+        from sleepgen.train.train_ldm import restore_unet_run
+
         window = cfg.unet.image_size
-        unet = build_unet(cfg, 1, 1, jnp.float32)
-        tpl = init_unet_template(cfg, unet, (window, 1))
-        ck = CheckpointManager(args.dm_run)
-        best = ck.restore_best(tpl, name="final_model")
-        ck.close()
+        unet, best = restore_unet_run(cfg, args.dm_run, 1, 1,
+                                      sample_shape=(window, 1),
+                                      name="final_model")
     sched = make_schedule(cfg)
 
     assert x_pad.shape[1] == window, (x_pad.shape, window)

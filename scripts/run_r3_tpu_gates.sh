@@ -20,6 +20,22 @@ set -eu
 cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD:/root/.axon_site
 
+# fail fast on missing prerequisites instead of burning the supervisor's
+# retry budget: stage 2 consumes stage 1's /tmp run dir (gone if /tmp was
+# wiped while the repo-root skip-marker survived), stage 3 needs the
+# flagship r3ext checkpoints which nothing in this queue creates
+if [ -f DEMO_COND_r3.json ] && [ ! -f DEMO_IMPUTE_r3.json ] \
+    && [ ! -d /tmp/sleepgen_demo_cond/cond_dm ]; then
+  echo "stage 2 prerequisite missing (/tmp/sleepgen_demo_cond/cond_dm gone" \
+       "but DEMO_COND_r3.json exists) — delete the marker to re-train" >&2
+  exit 2
+fi
+if [ ! -f DEMO_IMPUTE_LDM_r3.json ] && [ ! -d /tmp/sleepgen_demo_r3ext/demo_ldm ]; then
+  echo "stage 3 prerequisite missing: /tmp/sleepgen_demo_r3ext flagship" \
+       "run dirs (produced by the round-3 extended demo, not this queue)" >&2
+  exit 2
+fi
+
 if [ ! -f DEMO_COND_r3.json ]; then
   python scripts/demo_conditional.py --out /tmp/sleepgen_demo_cond
   cp /tmp/sleepgen_demo_cond/report.json DEMO_COND_r3.json

@@ -69,9 +69,7 @@ def main(argv=None):
     from sleepgen.config import Config
     from sleepgen.data.transforms import BORDER_PAD
     from sleepgen.sample.samplers import impute_dm, impute_ldm, validate_stage
-    from sleepgen.train.train_ldm import (build_unet, init_unet_template,
-                                          make_schedule)
-    from sleepgen.utils import CheckpointManager
+    from sleepgen.train.train_ldm import make_schedule, restore_unet_run
 
     args = build_parser().parse_args(argv)
     cfg = Config.from_yaml(Path(args.diffusion_path) / "config.yaml")
@@ -90,33 +88,22 @@ def main(argv=None):
     n, length, ch = x.shape
 
     if latent_mode:
-        from sleepgen.train.train_aekl import build_models, init_state
+        from sleepgen.train.train_aekl import restore_aekl_run
 
-        aekl_cfg = Config.from_yaml(Path(args.best_model_path) / "config.yaml")
+        aekl_cfg, ae, ae_params = restore_aekl_run(args.best_model_path)
         # cfg.unet.image_size is the LATENT length here; the signal window
         # rebuilds from the AEKL's downsample count (as in warm_cache)
         window = (cfg.unet.image_size
                   * 2 ** (len(aekl_cfg.aekl.num_channels) - 1))
         lc = aekl_cfg.aekl.latent_channels
-        state0, *_ = init_state(aekl_cfg, jax.random.PRNGKey(0))
-        ck = CheckpointManager(args.best_model_path)
-        ae_params = ck.restore_best(jax.device_get(state0.params_g))
-        ck.close()
-        ae, _ = build_models(aekl_cfg, jnp.float32)
-        unet = build_unet(cfg, lc, lc, jnp.float32)
-        tpl = init_unet_template(cfg, unet, (cfg.unet.image_size, lc),
-                                 with_scale_factor=True)
-        ckpt = CheckpointManager(args.diffusion_path)
-        best = ckpt.restore_best(tpl)
-        ckpt.close()
+        unet, best = restore_unet_run(cfg, args.diffusion_path, lc, lc,
+                                      with_scale_factor=True)
         scale_factor = float(best["scale_factor"])
     else:
         window = cfg.unet.image_size
-        unet = build_unet(cfg, ch, ch, jnp.float32)
-        tpl = init_unet_template(cfg, unet, (window, ch))
-        ckpt = CheckpointManager(args.diffusion_path)
-        best = ckpt.restore_best(tpl, name="final_model")
-        ckpt.close()
+        unet, best = restore_unet_run(cfg, args.diffusion_path, ch, ch,
+                                      sample_shape=(window, ch),
+                                      name="final_model")
 
     assert length + 2 * BORDER_PAD == window, (
         f"window length {length} + 2*{BORDER_PAD} pad must equal the "

@@ -45,15 +45,11 @@ def main(argv=None):
     enable_compilation_cache()
     from pathlib import Path
 
-    import jax
-    import jax.numpy as jnp
-
     from sleepgen.config import Config
     from sleepgen.sample.sample_ldm import sample_ldm_trials
     from sleepgen.sample.samplers import validate_stage
-    from sleepgen.train.train_aekl import init_state
-    from sleepgen.train.train_ldm import build_unet, init_unet_template
-    from sleepgen.utils import CheckpointManager
+    from sleepgen.train.train_aekl import restore_aekl_run
+    from sleepgen.train.train_ldm import restore_unet_run
 
     args = build_parser().parse_args(argv)
     # read train-time configs from the run dirs (no re-stated channels)
@@ -64,10 +60,8 @@ def main(argv=None):
     cfg.diffusion.num_inference_steps = args.num_inference_steps
     cfg.diffusion.sampler = args.sampler
 
-    state0, *_ = init_state(aekl_cfg, jax.random.PRNGKey(0))
-    ckpt = CheckpointManager(args.best_model_path)
-    stage1_params = ckpt.restore_best(jax.device_get(state0.params_g))
-    ckpt.close()
+    _, _, stage1_params = restore_aekl_run(args.best_model_path,
+                                           cfg=aekl_cfg)
 
     conditional = cfg.unet.num_classes > 0
     try:
@@ -76,12 +70,8 @@ def main(argv=None):
         raise SystemExit(str(e))
 
     lc = aekl_cfg.aekl.latent_channels
-    unet = build_unet(cfg, lc, lc, jnp.float32)
-    template = init_unet_template(cfg, unet, (cfg.unet.image_size, lc),
-                                  with_scale_factor=True)
-    ckpt2 = CheckpointManager(args.diffusion_path)
-    best = ckpt2.restore_best(template)
-    ckpt2.close()
+    _, best = restore_unet_run(cfg, args.diffusion_path, lc, lc,
+                               with_scale_factor=True)
 
     # default the artifact-dir suffix from the run's train-time config
     type_dataset = args.type_dataset or cfg.dataset

@@ -79,9 +79,6 @@ def main(argv=None):
     from sleepgen.sample.samplers import ddim_sample_loop, seed_noise
     from sleepgen.sample.sample_ldm import write_sample_artifacts
     from sleepgen.data.transforms import BORDER_PAD
-    from sleepgen.train.train_ldm import build_unet
-    from sleepgen.utils import CheckpointManager
-
     args = build_parser().parse_args(argv)
     cfg = Config.from_yaml(Path(args.diffusion_path) / "config.yaml")
     num_ddim_steps = min(args.num_ddim_steps, args.num_inference_steps)
@@ -89,7 +86,7 @@ def main(argv=None):
     signal_len = cfg.unet.image_size
 
     from sleepgen.sample.samplers import validate_stage
-    from sleepgen.train.train_ldm import init_unet_template
+    from sleepgen.train.train_ldm import restore_unet_run
 
     conditional = cfg.unet.num_classes > 0
     try:
@@ -97,11 +94,9 @@ def main(argv=None):
     except ValueError as e:
         raise SystemExit(str(e))
 
-    unet = build_unet(cfg, 1, 1, jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
-    template = init_unet_template(cfg, unet, (signal_len, 1))
-    ckpt = CheckpointManager(args.diffusion_path)
-    best = ckpt.restore_best(template)
-    ckpt.close()
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    unet, best = restore_unet_run(cfg, args.diffusion_path, 1, 1, dtype,
+                                  sample_shape=(signal_len, 1))
 
     sched = dm_sampling_schedule(cfg, args.num_inference_steps)
     if cfg.fast_sampling_math and cfg.dtype == "bfloat16":

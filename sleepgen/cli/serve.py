@@ -95,10 +95,20 @@ def main(argv=None):
         line = line.strip()
         if not line:
             continue
-        req = json.loads(line)
-        seeds = (req["seeds"] if "seeds" in req
-                 else range(req.get("start", 0), req.get("stop", 128)))
-        handle(list(seeds), i, stage=req.get("stage"),
+        # a malformed request must not kill the warm loop — the compiled
+        # sampler state it holds is the whole point of the service
+        try:
+            req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError(f"request must be a JSON object, got "
+                                 f"{type(req).__name__}")
+            seeds = (req["seeds"] if "seeds" in req
+                     else range(req.get("start", 0), req.get("stop", 128)))
+            seeds = list(seeds)
+        except (ValueError, TypeError, KeyError) as e:
+            print(json.dumps({"request": i, "error": str(e)}), flush=True)
+            continue
+        handle(seeds, i, stage=req.get("stage"),
                guidance_scale=req.get("guidance_scale"))
 
 

@@ -26,7 +26,8 @@ from sleepgen.config import Config
 from sleepgen.data.transforms import BORDER_PAD, to_bcl
 from sleepgen.diffusion import NoiseSchedule
 from sleepgen.nn import AutoencoderKL, UNet1d
-from sleepgen.sample.samplers import ddim_sample_loop, ddpm_sample_loop, seed_noise
+from sleepgen.sample.samplers import (_cond_model_fn, ddim_sample_loop,
+                                      ddpm_sample_loop, seed_noise)
 
 
 def sampling_schedule(cfg: Config) -> NoiseSchedule:
@@ -84,22 +85,11 @@ def make_ldm_sampler(
     def sample(unet_params, ae_params, scale_factor, base_key, seeds,
                labels=None, guidance_scale=None):
         x_T = seed_noise(base_key, seeds, (latent_len, latent_channels))
-
-        if not conditional:
-            def model_fn(x, t):
-                return unet.apply({"params": unet_params}, x, t)
-        elif not guided:
-            def model_fn(x, t):
-                return unet.apply({"params": unet_params}, x, t, labels)
-        else:
-            y2 = jnp.concatenate([labels, jnp.full_like(labels, -1)])
-
-            def model_fn(x, t):
-                v2 = unet.apply({"params": unet_params},
-                                jnp.concatenate([x, x]),
-                                jnp.concatenate([t, t]), y2)
-                v_c, v_n = jnp.split(v2, 2)
-                return v_n + guidance_scale * (v_c - v_n)
+        # shared plain/conditional/CFG closure; `guided` is the static
+        # branch pick because guidance_scale is traced here
+        model_fn = _cond_model_fn(unet, unet_params,
+                                  labels if conditional else None,
+                                  guidance_scale, guided=guided)
 
         if sampler == "dpm++2m":
             from sleepgen.diffusion.dpm_solver import dpm_solver_pp_2m_sample_loop

@@ -170,14 +170,21 @@ def ddpm_inpaint_loop(
     return mask * x_known + (1.0 - mask) * x
 
 
-def _cond_model_fn(unet, params, labels, guidance_scale):
-    """Model closure shared by the imputation paths: plain, conditional,
-    or classifier-free-guided (null branch fused into one 2B-batch apply,
-    same recipe as sample_dm_conditional)."""
+def _cond_model_fn(unet, params, labels, guidance_scale, guided=None):
+    """Model closure shared by every sampling/imputation path: plain,
+    conditional, or classifier-free-guided (null branch fused into one
+    2B-batch apply).
+
+    ``guided`` overrides the CFG-branch decision for callers whose
+    ``guidance_scale`` is a *traced* scalar (make_ldm_sampler) — comparing
+    a tracer against 1.0 inside Python control flow would fail; everyone
+    else leaves it None and the Python-float comparison picks the branch."""
+    if guided is None:
+        guided = guidance_scale != 1.0
     if labels is None:
         def model_fn(x, t):
             return unet.apply({"params": params}, x, t)
-    elif guidance_scale == 1.0:
+    elif not guided:
         def model_fn(x, t):
             return unet.apply({"params": params}, x, t, labels)
     else:

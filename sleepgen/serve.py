@@ -52,26 +52,14 @@ class SamplerService:
     @classmethod
     def from_run_dirs(cls, aekl_run_dir: str | Path, ldm_run_dir: str | Path,
                       batch_size: int = 64, **kw) -> "SamplerService":
-        from sleepgen.train.train_aekl import init_state
-        from sleepgen.utils import CheckpointManager
+        from sleepgen.train.train_aekl import restore_aekl_run
+        from sleepgen.train.train_ldm import restore_unet_run
 
-        aekl_cfg = Config.from_yaml(Path(aekl_run_dir) / "config.yaml")
         cfg = Config.from_yaml(Path(ldm_run_dir) / "config.yaml")
-
-        state0, *_ = init_state(aekl_cfg, jax.random.PRNGKey(0))
-        ckpt = CheckpointManager(aekl_run_dir)
-        ae_params = ckpt.restore_best(jax.device_get(state0.params_g))
-        ckpt.close()
-
-        from sleepgen.train.train_ldm import init_unet_template
-
+        aekl_cfg, _, ae_params = restore_aekl_run(aekl_run_dir)
         lc = aekl_cfg.aekl.latent_channels
-        unet = build_unet(cfg, lc, lc, jnp.float32)
-        tpl = init_unet_template(cfg, unet, (cfg.unet.image_size, lc),
-                                 with_scale_factor=True)
-        ckpt2 = CheckpointManager(ldm_run_dir)
-        best = ckpt2.restore_best(tpl)
-        ckpt2.close()
+        _, best = restore_unet_run(cfg, ldm_run_dir, lc, lc,
+                                   with_scale_factor=True)
         return cls(cfg=cfg, aekl_cfg=aekl_cfg, unet_params=best["params"],
                    ae_params=ae_params,
                    scale_factor=float(best["scale_factor"]),
@@ -131,10 +119,16 @@ class SamplerService:
     def warmup(self) -> float:
         """Compile the sampler ahead of traffic; returns compile seconds.
         The warmup call is excluded from ``stats`` so the first real
-        request reports steady-state throughput."""
+        request reports steady-state throughput. Conditional checkpoints
+        also warm the guided (CFG) graph — its scale is traced, so this
+        one call covers every guidance_scale clients may request."""
         t0 = time.perf_counter()
-        stage = 0 if self.cfg.unet.num_classes > 0 else None
+        conditional = self.cfg.unet.num_classes > 0
+        stage = 0 if conditional else None
         self.sample(range(self.batch_size), stage=stage)
+        if conditional:
+            self.sample(range(self.batch_size), stage=stage,
+                        guidance_scale=2.0)
         dt = time.perf_counter() - t0
         self.stats = {}
         return dt

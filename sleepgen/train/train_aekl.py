@@ -80,6 +80,27 @@ def build_models(cfg: Config, dtype=jnp.float32) -> Tuple[AutoencoderKL, PatchDi
     return ae, disc
 
 
+def restore_aekl_run(run_dir, dtype=jnp.float32, cfg: Optional[Config] = None):
+    """Load a trained AEKL run dir -> (cfg, ae_module, ae_params).
+
+    The one canonical stage-1 restore recipe, shared by every consumer
+    (sample/impute CLIs, SamplerService, demo drivers) so the checkpoint
+    layout lives in exactly one place. Pass ``cfg`` to apply overrides
+    (e.g. a --latent_channels flag) before the template is built; by
+    default the run dir's own config.yaml is used."""
+    from pathlib import Path
+
+    from sleepgen.utils import CheckpointManager
+
+    cfg = cfg or Config.from_yaml(Path(run_dir) / "config.yaml")
+    state0, *_ = init_state(cfg, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(run_dir)
+    params = ckpt.restore_best(jax.device_get(state0.params_g))
+    ckpt.close()
+    ae, _ = build_models(cfg, dtype)
+    return cfg, ae, params
+
+
 def init_state(cfg: Config, rng: jax.Array, window: int = 3072,
                dtype=jnp.float32) -> Tuple[AEKLState, Any, Any, Any, Any]:
     ae, disc = build_models(cfg, dtype)

@@ -89,6 +89,30 @@ def init_unet_template(cfg: Config, unet: UNet1d, sample_shape,
     return tpl
 
 
+def restore_unet_run(cfg: Config, run_dir, in_channels: int,
+                     out_channels: int, dtype=jnp.float32,
+                     sample_shape=None, with_scale_factor: bool = False,
+                     name: str = "best_model"):
+    """Load a trained diffusion run dir -> (unet_module, checkpoint dict).
+
+    The one canonical stage-2 restore recipe (conditional-aware template
+    via init_unet_template), shared by the sample/impute CLIs,
+    SamplerService, and demo drivers. ``sample_shape`` defaults to the
+    latent operating point (cfg.unet.image_size, in_channels); DM-space
+    callers pass their signal shape. LDM checkpoints carry scale_factor
+    (with_scale_factor=True); DM final models don't (name='final_model')."""
+    from sleepgen.utils import CheckpointManager
+
+    unet = build_unet(cfg, in_channels, out_channels, dtype)
+    tpl = init_unet_template(
+        cfg, unet, sample_shape or (cfg.unet.image_size, in_channels),
+        with_scale_factor=with_scale_factor)
+    ckpt = CheckpointManager(run_dir)
+    best = ckpt.restore_best(tpl, name=name)
+    ckpt.close()
+    return unet, best
+
+
 def make_schedule(cfg: Config) -> NoiseSchedule:
     d = cfg.diffusion
     return NoiseSchedule.create(
