@@ -70,6 +70,10 @@ class DDPMTables:
             if parameterization == "eps":
                 lvlb = betas**2 / (2 * post_var * alphas * (1 - acp))
             elif parameterization == "x0":
+                # PRESERVED reference bug (models/ldm.py x0 branch, itself
+                # vendored CompVis code): `2.0 * 1 - acp` divides by
+                # (2 - acp), not the intended 2*(1 - acp) — kept verbatim
+                # for numerical parity with reference-trained v1 models
                 lvlb = 0.5 * np.sqrt(acp) / (2.0 * 1 - acp)
             else:
                 raise NotImplementedError(parameterization)

@@ -150,6 +150,10 @@ class TimeDistributedStager(nn.Module):
     sfreq: float = 100.0
     n_outputs: int = 5
     n_windows: int = 3
+    # INTENTIONALLY unused, faithful to the reference: it passes
+    # dropout=0.9 to SleepStagerChambon2018 but with return_feats=True the
+    # features are taken BEFORE the fc head that owns that dropout
+    # (run_sleep_decode.py:179-182), so only the head's 0.5 ever applies
     feat_dropout: float = 0.9
     head_dropout: float = 0.5
     pad_size_s: float = 0.1

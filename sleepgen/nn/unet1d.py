@@ -252,9 +252,14 @@ class UNet1d(nn.Module):
             if level != levels - 1:
                 if self.resblock_updown:
                     h = res(h, emb, h.shape[-1], f"down_{level}_downres", down=True)
-                else:
+                elif self.conv_resample:
                     h = conv1d(h.shape[-1], 3, stride=2, dtype=self.dtype,
                                name=f"down_{level}_downconv")(h)
+                else:
+                    # conv_resample=False: parameter-free avg-pool, the
+                    # reference Downsample's use_conv=False branch
+                    # (models/unet.py:177-199)
+                    h = nn.avg_pool(h, window_shape=(2,), strides=(2,))
                 hs.append(h)
                 ds *= 2
 
@@ -275,8 +280,10 @@ class UNet1d(nn.Module):
                         h = res(h, emb, h.shape[-1], f"up_{level}_upres", up=True)
                     else:
                         h = nearest_upsample_1d(h)
-                        h = conv1d(h.shape[-1], 3, dtype=self.dtype,
-                                   name=f"up_{level}_upconv")(h)
+                        if self.conv_resample:  # Upsample use_conv
+                            # (models/unet.py:202-224); False = nearest only
+                            h = conv1d(h.shape[-1], 3, dtype=self.dtype,
+                                       name=f"up_{level}_upconv")(h)
                     ds //= 2
         assert not hs, "skip stack imbalance"
 

@@ -266,6 +266,9 @@ def train_aekl(
     for epoch in range(start_epoch, cfg.train.n_epochs):
         last_epoch = epoch
         epoch_metrics = []
+        # train shuffle=False / valid shuffle=True is a PRESERVED reference
+        # quirk (dataset/dataset.py:74,91): its train randomness comes from
+        # the per-epoch random window crop, not batch composition
         for dev_batch in prefetch_to_device(
             train_ds.epoch_batches(cfg.train.batch_size, np_rng,
                                    shuffle=False, pad_multiple=n_dev),
@@ -300,19 +303,24 @@ def train_aekl(
                 len(valid_ds),
                 valid_ds.epoch_batches(cfg.train.batch_size, np_rng,
                                        shuffle=True, pad_multiple=n_dev),
-                _losses)
+                _losses, batch_size=cfg.train.batch_size)
             logger_v.log(epoch, {"recons_loss": val_loss})
             # reconstruction + spectral-overlay figures every val interval —
             # the diagnostic the reference's authors used to catch the
             # spectral-loss explosion (train_autoencoderkl.py:262-283,
             # util.py:137-195)
             _log_val_figures(run_dir, epoch, first_pair)
-            host_state = jax.device_get(state)
-            ckpt.save(int(host_state.step), host_state)
-            if val_loss <= best_loss:
+            # update best_loss BEFORE the periodic save: saving first left
+            # the checkpoint one improvement behind, so a crash-resume
+            # could overwrite the true best_model with a worse one
+            improved = val_loss <= best_loss
+            if improved:
                 best_loss = val_loss
                 state = state.replace(best_loss=jnp.asarray(best_loss))
-                ckpt.save_best(jax.device_get(state.params_g))
+            host_state = jax.device_get(state)
+            ckpt.save(int(host_state.step), host_state)
+            if improved:
+                ckpt.save_best(host_state.params_g)
 
     host_state = jax.device_get(state)
     if stopped_on_nan:

@@ -77,7 +77,12 @@ def make_dm_train_step(unet, sched, opt, spectral: bool,
         def loss_fn(params):
             pred = unet.apply({"params": params}, noisy, t, y).astype(jnp.float32)
             mse = jnp.mean((pred - target) ** 2)
-            spec = jukebox_loss(pred, noise, axis=-2, reduction="sum")
+            # spectral term on pred vs TARGET: identical to the reference's
+            # pred-vs-noise (training_diffusion.py:148-152) for its
+            # epsilon parameterization, and the only consistent choice for
+            # v_prediction (pred-vs-noise would pull the velocity output
+            # toward eps, a different optimum than the MSE term's)
+            spec = jukebox_loss(pred, target, axis=-2, reduction="sum")
             loss = mse + (DM_SPECTRAL_WEIGHT * spec if spectral else 0.0)
             return loss, {"mse": mse, "spec_loss": spec}
 
@@ -200,12 +205,19 @@ def train_dm(
                 len(valid_ds),
                 valid_ds.epoch_batches(cfg.train.batch_size, np_rng,
                                        shuffle=True, pad_multiple=n_dev),
-                _losses)
+                _losses, batch_size=cfg.train.batch_size)
             logger_v.log(epoch, {"loss": val_loss})
+            # update best_loss in the state BEFORE the periodic save so a
+            # resume can't restore a stale best and overwrite the true
+            # best_model checkpoint with a worse one
+            improved = val_loss <= best_loss
+            if improved:
+                best_loss = val_loss
+                state = state.replace(
+                    best_loss=jnp.asarray(best_loss, jnp.float32))
             host_state = jax.device_get(state)
             ckpt.save(int(host_state.step), host_state)
-            if val_loss <= best_loss:
-                best_loss = val_loss
+            if improved:
                 ckpt.save_best({"params": host_state.params})
 
     host_state = jax.device_get(state)

@@ -60,6 +60,7 @@ def build_unet(cfg: Config, in_channels: int, out_channels: int, dtype) -> UNet1
         num_heads=u.num_heads,
         use_scale_shift_norm=u.use_scale_shift_norm,
         resblock_updown=u.resblock_updown,
+        conv_resample=u.conv_resample,
         num_groups=u.norm_num_groups,
         dropout=u.dropout,
         dtype=dtype,
@@ -308,7 +309,7 @@ def train_ldm(
             len(valid_ds),
             valid_ds.epoch_batches(cfg.train.batch_size, np_rng,
                                    shuffle=True, pad_multiple=n_dev),
-            _losses)
+            _losses, batch_size=cfg.train.batch_size)
         logger_v.log(epoch, {"loss": val})
         if sample:
             # in-training unconditioned sample, decoded with and without the
@@ -316,29 +317,32 @@ def train_ldm(
             _log_sample(epoch)
         return val
 
+    from sleepgen.data.transforms import to_bcl
+    from sleepgen.sample.samplers import ddpm_sample_loop
+
+    @jax.jit  # hoisted out of the epoch loop: one compile for the whole
+    # run (defining this inside _log_sample made a fresh jit wrapper per
+    # sampling epoch — the full 1000-step scan + both decodes recompiled
+    # every val_interval*2 epochs, minutes apiece on TPU)
+    def _draw(params, sf, key):
+        # conditional: one in-training sample per class; else one
+        n = cfg.unet.num_classes if conditional else 1
+        y = jnp.arange(n, dtype=jnp.int32) if conditional else None
+        z_T = jax.random.normal(key, (n, latent_len, latent_channels))
+
+        def model_fn(x, t):
+            return unet.apply({"params": params}, x, t, y)
+
+        z = ddpm_sample_loop(model_fn, sched, z_T, key, clip_sample=False)
+        x_scaled = ae.apply({"params": stage1_params}, z / sf,
+                            method=AutoencoderKL.decode)
+        x_raw = ae.apply({"params": stage1_params}, z,
+                         method=AutoencoderKL.decode)
+        return x_scaled, x_raw
+
     def _log_sample(epoch):
-        from sleepgen.data.transforms import to_bcl
-        from sleepgen.sample.samplers import ddpm_sample_loop
-
-        @jax.jit
-        def draw(params, sf, key):
-            # conditional: one in-training sample per class; else one
-            n = cfg.unet.num_classes if conditional else 1
-            y = jnp.arange(n, dtype=jnp.int32) if conditional else None
-            z_T = jax.random.normal(key, (n, latent_len, latent_channels))
-
-            def model_fn(x, t):
-                return unet.apply({"params": params}, x, t, y)
-
-            z = ddpm_sample_loop(model_fn, sched, z_T, key, clip_sample=False)
-            x_scaled = ae.apply({"params": stage1_params}, z / sf,
-                                method=AutoencoderKL.decode)
-            x_raw = ae.apply({"params": stage1_params}, z,
-                             method=AutoencoderKL.decode)
-            return x_scaled, x_raw
-
-        x_scaled, x_raw = draw(state.params, state.scale_factor,
-                               jax.random.fold_in(rng, epoch))
+        x_scaled, x_raw = _draw(state.params, state.scale_factor,
+                                jax.random.fold_in(rng, epoch))
         x_scaled = to_bcl(np.asarray(jax.device_get(x_scaled), np.float32))
         x_raw = to_bcl(np.asarray(jax.device_get(x_raw), np.float32))
         tag = "conditional" if conditional else "unconditioned"
@@ -381,16 +385,21 @@ def train_ldm(
             # sampling every 2x eval_freq (training.py:373)
             val_loss = run_eval(
                 epoch, sample=(epoch + 1) % (cfg.train.val_interval * 2) == 0)
-            host_state = jax.device_get(state)
-            ckpt.save(int(host_state.step), host_state)
-            if val_loss <= best_loss:
+            # update best_loss BEFORE the periodic save: saving first left
+            # the checkpoint one improvement behind, so a crash-resume
+            # could overwrite the true best_model with a worse one
+            improved = val_loss <= best_loss
+            if improved:
                 best_loss = val_loss
                 state = state.replace(best_loss=jnp.asarray(best_loss))
-                best_params = (state.ema_params if ema_decay > 0.0
-                               else state.params)
+            host_state = jax.device_get(state)
+            ckpt.save(int(host_state.step), host_state)
+            if improved:
+                best_params = (host_state.ema_params if ema_decay > 0.0
+                               else host_state.params)
                 ckpt.save_best(
-                    {"params": jax.device_get(best_params),
-                     "scale_factor": jax.device_get(state.scale_factor)})
+                    {"params": best_params,
+                     "scale_factor": host_state.scale_factor})
 
     host_state = jax.device_get(state)
     if stopped_on_nan:

@@ -43,8 +43,12 @@ def make_v1_encoder_train_step(
     opt_d,
     kl_weight: float = 1e-6,
     gan_weight: float = 0.01,
-    clip_norm: float = 1.0,
 ):
+    # NOTE: the reference's grad-clip 1.0 (train_encoder.py:185,205) lives
+    # in the OPTIMIZERS — init_v1_encoder_state chains
+    # optax.clip_by_global_norm into opt_g/opt_d. Callers building their
+    # own optimizers must include it themselves (a dead clip_norm arg here
+    # used to suggest this step applied it; it never did).
     def train_step(state: V1EncoderState, batch: jnp.ndarray, rng: jax.Array):
         key = jax.random.fold_in(rng, state.step)
 

@@ -87,8 +87,23 @@ def test_conditional_train_dm_end_to_end(cond_cfg, cond_ds):
     assert "label_emb" in tpl["params"], "conditional init must create the embedding"
     ck = CheckpointManager(res.run_dir)
     best = ck.restore_best(tpl, name="final_model")
+    # best_loss must be PERSISTED into the periodic checkpoint state: a
+    # resume that restores best_loss=inf would let the first post-resume
+    # validation overwrite the true best_model with a worse one
+    import optax
+
+    from sleepgen.train.train_ldm import DiffusionState
+
+    state_tpl = jax.device_get(DiffusionState(
+        step=jnp.zeros((), jnp.int32), params=tpl["params"],
+        opt=optax.adam(cond_cfg.train.base_lr).init(tpl["params"]),
+        best_loss=jnp.asarray(jnp.inf, jnp.float32),
+        scale_factor=jnp.asarray(1.0, jnp.float32)))
+    latest = ck.restore_latest(state_tpl)
     ck.close()
     assert best is not None and "label_emb" in best["params"]
+    assert np.isfinite(float(latest.best_loss)), \
+        "train_dm never wrote best_loss into the checkpointed state"
 
 
 def test_conditioning_changes_samples_and_is_seed_deterministic(cond_cfg):

@@ -208,3 +208,37 @@ def test_artifact_contract_psd_is_multitaper(tmp_path):
     np.testing.assert_allclose(freqs, want_f, atol=1e-6)
     np.testing.assert_allclose(psds_mean, want.mean(axis=0), rtol=1e-6)
     assert freqs.max() <= 18.0
+
+
+def test_masked_epoch_mean_every_batch_padded():
+    """pad_to_multiple pads EVERY batch when batch_size isn't a multiple
+    of the device count — the reduction must trim per-batch padding, not
+    only the final batch's (pre-fix, duplicated tail rows were counted as
+    real samples and real tail batches were dropped once the count
+    saturated early)."""
+    from sleepgen.parallel import pad_to_multiple
+    from sleepgen.train.evals import masked_epoch_mean
+
+    losses = np.arange(10, dtype=np.float32)  # 10 real samples
+    batch_size, multiple = 3, 4  # every 3-row batch pads to 4
+    batches = [pad_to_multiple(losses[i:i + batch_size, None], multiple)
+               for i in range(0, 10, batch_size)]
+    got = masked_epoch_mean(10, batches, lambda bi, b: b[:, 0],
+                            batch_size=batch_size)
+    assert got == pytest.approx(losses.mean())
+    # without batch_size the duplicated rows poison the mean
+    poisoned = masked_epoch_mean(10, batches, lambda bi, b: b[:, 0])
+    assert poisoned != pytest.approx(losses.mean())
+
+
+def test_masked_epoch_mean_final_batch_padding_only():
+    """The common case (batch_size a multiple of the device count): only
+    the final short batch is padded, and the mean is exact."""
+    from sleepgen.parallel import pad_to_multiple
+    from sleepgen.train.evals import masked_epoch_mean
+
+    losses = np.arange(11, dtype=np.float32)
+    batches = [pad_to_multiple(losses[i:i + 4, None], 4)
+               for i in range(0, 11, 4)]
+    got = masked_epoch_mean(11, batches, lambda bi, b: b[:, 0], batch_size=4)
+    assert got == pytest.approx(losses.mean())

@@ -269,3 +269,25 @@ def test_custom_vjp_group_norm_matches_autodiff():
             np.testing.assert_allclose(np.asarray(got, np.float32),
                                        np.asarray(want, np.float32),
                                        rtol=tol, atol=tol)
+
+
+def test_unet1d_conv_resample_false_is_parameter_free_resampling():
+    """conv_resample=False (reference Downsample/Upsample use_conv=False,
+    models/unet.py:177-224): avg-pool down, nearest-only up — no
+    down/up conv parameters in the tree, same output shape. The flag used
+    to be declared but silently ignored."""
+    rng = jax.random.PRNGKey(0)
+    t = jnp.array([0, 5])
+    x = jnp.zeros((2, 64, 1))
+    kw = dict(in_channels=1, out_channels=1, model_channels=16,
+              channel_mult=(1, 2), num_res_blocks=1,
+              attention_resolutions=(2,), num_groups=8,
+              resblock_updown=False)
+    m_conv = UNet1d(conv_resample=True, **kw)
+    m_pool = UNet1d(conv_resample=False, **kw)
+    p_conv = m_conv.init(rng, x, t)["params"]
+    p_pool = m_pool.init(rng, x, t)["params"]
+    assert any("downconv" in k or "upconv" in k for k in p_conv)
+    assert not any("downconv" in k or "upconv" in k for k in p_pool)
+    y = m_pool.apply({"params": p_pool}, x, t)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
