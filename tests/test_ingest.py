@@ -13,12 +13,28 @@ from sleepgen.data.ingest import (
 )
 
 
+def _record_tal(r: int, annotations) -> bytes:
+    """One annotation-channel record: the record-keeping TAL, then one TAL
+    per annotation — each terminated by \\x00 per the EDF+ spec."""
+    tal = f"+{r}\x14\x14\x00".encode()
+    for onset, dur, text in annotations:
+        tal += f"+{onset}\x15{dur}\x14{text}\x14\x00".encode()
+    return tal
+
+
 def _write_edf(path: Path, signals, labels, sfreq, annotations=None):
     """Minimal EDF+ writer for tests (independent of the reader)."""
     n_sig = len(signals) + (1 if annotations else 0)
     record_dur = 1.0
     n_records = int(len(signals[0]) / sfreq)
-    ann_spr = 32  # 64 bytes per record for the annotation channel
+    # annotation-channel record size: big enough for every TAL (all are
+    # packed into record 0) — EDF+ stores 2 bytes per "sample"
+    ann_bytes = 64
+    if annotations:
+        need = len(_record_tal(0, annotations))
+        while ann_bytes < need:
+            ann_bytes *= 2
+    ann_spr = ann_bytes // 2
 
     def pad(s, n):
         return s[:n].ljust(n).encode("ascii")
@@ -58,11 +74,9 @@ def _write_edf(path: Path, signals, labels, sfreq, annotations=None):
         for d in dig:
             records.append(d[r * int(sfreq):(r + 1) * int(sfreq)].tobytes())
         if annotations:
-            tal = f"+{r}\x14\x14".encode()
-            if r == 0:
-                for onset, dur, text in annotations:
-                    tal += f"+{onset}\x15{dur}\x14{text}\x14".encode()
-            tal = tal.ljust(ann_spr * 2, b"\x00")[: ann_spr * 2]
+            tal = _record_tal(r, annotations if r == 0 else [])
+            tal = tal.ljust(ann_spr * 2, b"\x00")
+            assert len(tal) == ann_spr * 2, "annotation record overflow"
             records.append(tal)
     path.write_bytes(hdr + sig_hdr + b"".join(records))
 
@@ -82,8 +96,10 @@ def test_edf_roundtrip(tmp_path):
     # quantization error bound: gain = 500/4095 ~ 0.12 uV
     np.testing.assert_allclose(edf.get("EEG Fpz-Cz"), sig1, atol=0.13)
     np.testing.assert_allclose(edf.get("EEG Pz-Oz"), sig2, atol=0.13)
-    texts = [a[2] for a in edf.annotations]
-    assert "Sleep stage 2" in texts and "Sleep stage R" in texts
+    # TAL round-trip must preserve onset/duration, not just the text
+    # (crop_to_sleep_period's geometry depends on the onsets)
+    assert edf.annotations == [(2.0, 30.0, "Sleep stage 2"),
+                               (5.0, 30.0, "Sleep stage R")]
 
     # channel whitelist
     only = read_edf(p, include=["EEG Pz-Oz"])
