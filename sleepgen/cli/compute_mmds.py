@@ -88,6 +88,7 @@ def main(argv=None):
 
     df.to_csv(out, index=False, sep="\t")
     print(f"Mean MS-SSIM: {scores.mean():.6f} -> {out}")
+    return float(scores.mean())
 
 
 if __name__ == "__main__":
