@@ -20,8 +20,10 @@ def _stub(tmp_path, body):
 @pytest.fixture(autouse=True)
 def fast_knobs(monkeypatch):
     # deadlines must absorb python-startup latency under full-suite CPU
-    # load (a 2 s contact deadline flaked when the suite ran in parallel)
-    monkeypatch.setattr(bench, "CONTACT_DEADLINE", 10)
+    # load (a 2 s contact deadline flaked when the suite ran in parallel;
+    # 10 s flaked again when a concurrent TPU-client training process
+    # saturated the machine — interpreter startup alone exceeded 10 s)
+    monkeypatch.setattr(bench, "CONTACT_DEADLINE", 30)
     monkeypatch.setattr(bench, "FULL_BUDGET", 8)
     monkeypatch.setattr(bench, "ATTEMPTS", 2)
     monkeypatch.setattr(bench, "POLL_S", 0.1)
@@ -65,7 +67,10 @@ print('{{"metric": "stub", "value": 2.0}}')
     assert "timed out" in cap.err
 
 
-def test_gives_up_after_attempts(tmp_path, capsys):
+def test_gives_up_after_attempts(tmp_path, capsys, monkeypatch):
+    # no attempt ever needs to make contact here, so there is no
+    # startup-latency race — a short deadline keeps the test fast
+    monkeypatch.setattr(bench, "CONTACT_DEADLINE", 5)
     body = "import time\ntime.sleep(60)\n"
     with pytest.raises(SystemExit):
         bench._supervise(_stub(tmp_path, body))
