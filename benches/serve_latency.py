@@ -63,12 +63,29 @@ def bench_service(svc: SamplerService, label: str):
         svc.sample(range(svc.batch_size), base_key=key)
         lat.append(time.perf_counter() - t0)
     lat_ms = np.sort(np.asarray(lat)) * 1e3
+
+    # pipelined request stream (cli/serve.py --pipeline): one request held
+    # in flight, so the device computes request k+1 while the host drains
+    # request k — the round-4 answer to the 35% request-vs-bulk gap
+    t0 = time.perf_counter()
+    held = None
+    for i in range(REQUESTS):
+        nxt = svc.sample_async(range(svc.batch_size),
+                               base_key=jax.random.PRNGKey(2000 + i))
+        if held is not None:
+            held.result()
+        held = nxt
+    held.result()
+    pipe_dt = time.perf_counter() - t0
+
     row = {
         "service": label, "batch": svc.batch_size,
         "compile_s": round(compile_s, 1),
         "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
         "p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
         "windows_per_sec": round(svc.batch_size / float(np.median(lat)), 1),
+        "pipelined_windows_per_sec": round(
+            REQUESTS * svc.batch_size / pipe_dt, 1),
     }
     print(json.dumps(row), flush=True)
     return row

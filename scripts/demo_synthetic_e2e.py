@@ -31,6 +31,16 @@ def main():
     p.add_argument("--aekl_epochs", type=int, default=400)
     p.add_argument("--ldm_epochs", type=int, default=800)
     p.add_argument("--n_recordings", type=int, default=48)
+    p.add_argument("--batch_size", type=int, default=256,
+                   help="AEKL train batch (reference ships 2048, "
+                        "config_aekl_eeg.yaml:3; one window per recording "
+                        "per epoch, so n_recordings must cover it)")
+    p.add_argument("--ldm_batch_size", type=int, default=None,
+                   help="LDM train batch (reference ships 1024, "
+                        "config_ldm.yaml:4; defaults to --batch_size)")
+    p.add_argument("--duration_s", type=float, default=300.0,
+                   help="per-recording length; large-batch runs shrink it "
+                        "to keep the host fixture small")
     p.add_argument("--n_samples", type=int, default=128)
     p.add_argument("--small", action="store_true",
                    help="tiny widths for a quick smoke run")
@@ -84,7 +94,7 @@ def main():
 
     cfg = Config()
     cfg.train.output_dir = str(out)
-    cfg.train.batch_size = 256
+    cfg.train.batch_size = args.batch_size
     cfg.train.n_epochs = args.aekl_epochs
     cfg.train.val_interval = max(args.aekl_epochs // 4, 1)
     cfg.aekl.num_channels = [2, 2, 4] if args.small else [32, 32, 64]
@@ -96,7 +106,7 @@ def main():
         cfg.unet.model_channels = 32
     cfg.losses.kl_weight = 1e-9
 
-    raws = make_synthetic_dataset(args.n_recordings, duration_s=300.0)
+    raws = make_synthetic_dataset(args.n_recordings, duration_s=args.duration_s)
     n_tr = int(args.n_recordings * 0.7)
     n_va = int(args.n_recordings * 0.15)
     train = WindowDataset.from_raw(raws[:n_tr])
@@ -116,6 +126,7 @@ def main():
 
     cfg.train.n_epochs = args.ldm_epochs
     cfg.train.val_interval = max(args.ldm_epochs // 4, 1)
+    cfg.train.batch_size = args.ldm_batch_size or args.batch_size
     print(f"[{time.time()-t_start:.0f}s] training LDM ({args.ldm_epochs} epochs)...",
           flush=True)
     res2 = train_ldm(cfg, train, valid, stage1, run_name="demo_ldm")
@@ -268,6 +279,9 @@ def main():
         "psd_log_correlation": psd_corr,
         "fast_train_math": bool(args.fast_train_math),
         "spectral": bool(args.spe),
+        "aekl_batch": args.batch_size,
+        "ldm_batch": args.ldm_batch_size or args.batch_size,
+        "n_recordings": args.n_recordings,
         "ema_decay": args.ema_decay,
         "sampler": ("ddim" if args.sampler == "both" else args.sampler)
                    + f"-{args.sample_steps}",

@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default classifier-free guidance scale; requests "
                         "may override via a 'guidance_scale' field (one "
                         "compiled sampler serves all scales)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="double-buffer requests: dispatch request k+1 to "
+                        "the device before finalizing request k's IO, so "
+                        "the chip never idles between queued requests. "
+                        "Responses for request k are then emitted when "
+                        "request k+1 arrives (or at EOF) — use for bulk "
+                        "feeds, not strict request/response clients")
     return p
 
 
@@ -70,27 +77,40 @@ def main(argv=None):
     print(f"ready (compile {compile_s:.1f}s, batch {args.batch_size})",
           flush=True)
 
-    def handle(seeds, req_id, stage=None, guidance_scale=None):
+    def dispatch(seeds, req_id, stage=None, guidance_scale=None):
+        """Start a request on the device; returns (req_id, pending) or None
+        after reporting a validation error."""
         stage = args.stage if stage is None else stage
         gs = args.guidance_scale if guidance_scale is None else guidance_scale
-        try:
-            if args.psd:
-                sigs, psds, freqs = svc.sample_with_psd(
-                    seeds, stage=stage, guidance_scale=gs)
-                np.save(out / f"psds_{req_id}.npy", psds)
-            else:
-                sigs = svc.sample(seeds, stage=stage, guidance_scale=gs)
-        except ValueError as e:  # bad stage/guidance: report, keep serving
+        try:  # bad stage/guidance: report, keep serving
+            return req_id, svc.sample_async(seeds, stage=stage,
+                                            guidance_scale=gs)
+        except ValueError as e:
             print(json.dumps({"request": req_id, "error": str(e)}), flush=True)
-            return
+            return None
+
+    def finalize(req_id, pending):
+        sigs = pending.result()
+        if args.psd:
+            from sleepgen.eval.psd import multitaper_psd_db
+
+            psds, _ = multitaper_psd_db(sigs[..., 0], fmax=18.0)
+            np.save(out / f"psds_{req_id}.npy", psds)
         np.save(out / f"signals_{req_id}.npy", sigs)
         print(json.dumps({"request": req_id, "n": len(sigs), **svc.stats}),
               flush=True)
 
     if args.oneshot:
-        handle(range(args.start, args.stop), 0)
+        job = dispatch(range(args.start, args.stop), 0)
+        if job is not None:
+            finalize(*job)
         return
 
+    # Streaming loop. Default: strict request/response (finalize before the
+    # next read). --pipeline: hold one in-flight request so the device
+    # computes request k+1 while the host writes request k's artifacts —
+    # closes the request-level vs bulk throughput gap (BASELINE.md serving).
+    held = None
     for i, line in enumerate(sys.stdin):
         line = line.strip()
         if not line:
@@ -108,8 +128,18 @@ def main(argv=None):
         except (ValueError, TypeError, KeyError) as e:
             print(json.dumps({"request": i, "error": str(e)}), flush=True)
             continue
-        handle(seeds, i, stage=req.get("stage"),
-               guidance_scale=req.get("guidance_scale"))
+        job = dispatch(seeds, i, stage=req.get("stage"),
+                       guidance_scale=req.get("guidance_scale"))
+        if job is None:
+            continue
+        if not args.pipeline:
+            finalize(*job)
+        else:
+            if held is not None:
+                finalize(*held)
+            held = job
+    if held is not None:
+        finalize(*held)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,30 @@ from sleepgen.train.train_ldm import build_unet
 
 
 @dataclass
+class PendingSample:
+    """A dispatched sampling request. The device is already computing when
+    this object exists; ``result()`` blocks on the device->host transfer,
+    trims chunk padding, and finalizes the service's per-request stats.
+    Created by :meth:`SamplerService.sample_async`."""
+
+    _svc: "SamplerService"
+    _chunks: list
+    _lens: list
+    _n: int
+    _t0: float
+
+    def result(self) -> np.ndarray:
+        outs = [np.asarray(jax.device_get(c))[:k]
+                for c, k in zip(self._chunks, self._lens)]
+        self._chunks = []  # free device buffers promptly
+        out = np.concatenate(outs, axis=0)
+        dt = time.perf_counter() - self._t0
+        self._svc.stats = {"last_windows": self._n, "last_sec": dt,
+                           "last_windows_per_sec": self._n / dt}
+        return out
+
+
+@dataclass
 class SamplerService:
     """Process-resident LDM sampling service.
 
@@ -134,6 +158,49 @@ class SamplerService:
         return dt
 
     # -- API -----------------------------------------------------------------
+    def sample_async(self, seeds: Sequence[int],
+                     base_key: Optional[jax.Array] = None,
+                     stage: Optional[int] = None,
+                     guidance_scale: float = 1.0) -> "PendingSample":
+        """Dispatch a request and return immediately (JAX dispatch is
+        async): the device starts computing while the host goes back to
+        IO/parsing/the next request. ``PendingSample.result()`` blocks on
+        the transfer. This is the request-pipelining primitive — a server
+        that dispatches request k+1 before finalizing request k keeps the
+        chip busy through the host-side gaps that capped request-level
+        throughput ~35% below bulk (BASELINE.md round-3 serving table).
+
+        All chunks are dispatched up front (no device_get between chunks),
+        so even a single bulk request overlaps result transfer with the
+        next chunk's compute. Argument validation still raises HERE, not
+        at result(), so callers can reject bad requests synchronously."""
+        from sleepgen.sample.samplers import validate_stage
+
+        conditional = self.cfg.unet.num_classes > 0
+        validate_stage(self.cfg.unet.num_classes, stage, guidance_scale)
+        guided = conditional and guidance_scale != 1.0
+        seeds = np.asarray(list(seeds), np.int32)
+        key = base_key if base_key is not None else jax.random.PRNGKey(self.base_seed)
+        self._ensure_device_params()
+        sampler = self._sampler(self.batch_size, guided)
+        sf = jnp.float32(self.scale_factor)
+        t0 = time.perf_counter()
+        chunks, lens = [], []
+        for i in range(0, len(seeds), self.batch_size):
+            chunk = seeds[i : i + self.batch_size]
+            padded = (np.concatenate(
+                [chunk, np.full(self.batch_size - len(chunk), chunk[-1], np.int32)])
+                if len(chunk) < self.batch_size else chunk)
+            args = (self.unet_params, self.ae_params, sf, key,
+                    jnp.asarray(padded))
+            if conditional:
+                args += (jnp.full((self.batch_size,), stage, jnp.int32),)
+            if guided:
+                args += (jnp.float32(guidance_scale),)
+            chunks.append(sampler(*args))
+            lens.append(len(chunk))
+        return PendingSample(self, chunks, lens, int(len(seeds)), t0)
+
     def sample(self, seeds: Sequence[int],
                base_key: Optional[jax.Array] = None,
                stage: Optional[int] = None,
@@ -146,36 +213,8 @@ class SamplerService:
         classifier-free guidance; the scale is traced, so sweeping scales
         reuses one compiled sampler (two cache entries per batch shape:
         plain and guided)."""
-        from sleepgen.sample.samplers import validate_stage
-
-        conditional = self.cfg.unet.num_classes > 0
-        validate_stage(self.cfg.unet.num_classes, stage, guidance_scale)
-        guided = conditional and guidance_scale != 1.0
-        seeds = np.asarray(list(seeds), np.int32)
-        key = base_key if base_key is not None else jax.random.PRNGKey(self.base_seed)
-        self._ensure_device_params()
-        sampler = self._sampler(self.batch_size, guided)
-        sf = jnp.float32(self.scale_factor)
-        outs = []
-        t0 = time.perf_counter()
-        for i in range(0, len(seeds), self.batch_size):
-            chunk = seeds[i : i + self.batch_size]
-            padded = (np.concatenate(
-                [chunk, np.full(self.batch_size - len(chunk), chunk[-1], np.int32)])
-                if len(chunk) < self.batch_size else chunk)
-            args = (self.unet_params, self.ae_params, sf, key,
-                    jnp.asarray(padded))
-            if conditional:
-                args += (jnp.full((self.batch_size,), stage, jnp.int32),)
-            if guided:
-                args += (jnp.float32(guidance_scale),)
-            sig = sampler(*args)
-            outs.append(np.asarray(jax.device_get(sig))[: len(chunk)])
-        out = np.concatenate(outs, axis=0)
-        dt = time.perf_counter() - t0
-        self.stats = {"last_windows": len(seeds), "last_sec": dt,
-                      "last_windows_per_sec": len(seeds) / dt}
-        return out
+        return self.sample_async(seeds, base_key=base_key, stage=stage,
+                                 guidance_scale=guidance_scale).result()
 
     def sample_with_psd(self, seeds: Sequence[int], stage: Optional[int] = None,
                         guidance_scale: float = 1.0):

@@ -63,6 +63,34 @@ def test_sampler_service(trained_dirs):
 
 
 @pytest.mark.slow
+def test_sampler_service_pipelined(trained_dirs):
+    """sample_async double-buffering returns the same per-seed windows as
+    synchronous sample() — overlap must not change results or ordering."""
+    from sleepgen.serve import SamplerService
+
+    aekl_dir, ldm_dir = trained_dirs
+    svc = SamplerService.from_run_dirs(aekl_dir, ldm_dir, batch_size=4,
+                                       border_pad=4)
+    svc.warmup()
+    sync = [svc.sample(range(4 * i, 4 * i + 4)) for i in range(3)]
+
+    held, got = None, []
+    for i in range(3):
+        nxt = svc.sample_async(range(4 * i, 4 * i + 4))
+        if held is not None:
+            got.append(held.result())
+        held = nxt
+    got.append(held.result())
+    for a, b in zip(sync, got):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    assert svc.stats["last_windows_per_sec"] > 0
+
+    # validation errors surface at dispatch time, not at result()
+    with pytest.raises(ValueError):
+        svc.sample_async(range(4), stage=3)  # unconditional checkpoint
+
+
+@pytest.mark.slow
 def test_sampler_service_mesh(trained_dirs):
     """Mesh-sharded serving returns the same per-seed windows as the
     single-device service (data-parallel serving contract)."""
