@@ -63,6 +63,7 @@ def main(argv=None):
         # crop window in 30 s epochs around non-wake (convert_shhs.py:104-113)
         nw = np.flatnonzero(y != 0)
         if len(nw) == 0:
+            print(f"no sleep epochs in {nsrrid}, skipping")
             continue
         start_ep = max(nw[0] - 60, 0)  # 30 min = 60 epochs
         end_ep = min(nw[-1] + 60, len(y) - 1)

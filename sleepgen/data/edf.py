@@ -161,3 +161,80 @@ def read_edf(path: str | Path, include: Optional[List[str]] = None) -> EdfFile:
             if "EDF Annotations" not in s.label
             and (include is None or s.label in include)]
     return EdfFile(header, n_records, record_duration, kept, data, annotations)
+
+
+# -- writer -------------------------------------------------------------------
+
+def _record_tal(r: int, annotations) -> bytes:
+    """One annotation-channel record: the record-keeping TAL, then one TAL
+    per annotation — each terminated by \\x00 per the EDF+ spec."""
+    tal = f"+{r}\x14\x14\x00".encode()
+    for onset, dur, text in annotations:
+        tal += f"+{onset}\x15{dur}\x14{text}\x14\x00".encode()
+    return tal
+
+
+def write_edf(path: str | Path, signals, labels, sfreq: float,
+              annotations=None, physical_range: float = 250.0) -> None:
+    """Minimal EDF+ writer — the inverse of :func:`read_edf` for synthetic
+    fixtures (the reference pipeline starts from PhysioNet/NSRR EDFs; this
+    environment has no egress, so demos and tests synthesize their own).
+    ``signals``: list of 1-D arrays in the signal's physical units (uV
+    scale by convention); ``annotations``: (onset_s, duration_s, text)
+    TALs, all packed into record 0."""
+    path = Path(path)
+    n_sig = len(signals) + (1 if annotations else 0)
+    record_dur = 1.0
+    n_records = int(len(signals[0]) / sfreq)
+    # annotation-channel record size: big enough for every TAL (all are
+    # packed into record 0) — EDF+ stores 2 bytes per "sample"
+    ann_bytes = 64
+    if annotations:
+        need = len(_record_tal(0, annotations))
+        while ann_bytes < need:
+            ann_bytes *= 2
+    ann_spr = ann_bytes // 2
+
+    def pad(s, n):
+        return s[:n].ljust(n).encode("ascii")
+
+    hdr = b"".join([
+        pad("0", 8), pad("synthetic patient", 80), pad("synthetic rec", 80),
+        pad("01.01.23", 8), pad("00.00.00", 8),
+        pad(str(256 * (1 + n_sig)), 8), pad("", 44),
+        pad(str(n_records), 8), pad(str(record_dur), 8), pad(str(n_sig), 4),
+    ])
+    all_labels = list(labels) + (["EDF Annotations"] if annotations else [])
+    sprs = [int(sfreq)] * len(signals) + ([ann_spr] if annotations else [])
+    pmins = [-physical_range] * len(signals) + ([-1.0] if annotations else [])
+    pmaxs = [physical_range] * len(signals) + ([1.0] if annotations else [])
+    dmins = [-2048] * len(signals) + ([-32768] if annotations else [])
+    dmaxs = [2047] * len(signals) + ([32767] if annotations else [])
+
+    sig_hdr = b"".join(pad(l, 16) for l in all_labels)
+    sig_hdr += b"".join(pad("", 80) for _ in range(n_sig))
+    sig_hdr += b"".join(pad("uV", 8) for _ in range(n_sig))
+    sig_hdr += b"".join(pad(str(v), 8) for v in pmins)
+    sig_hdr += b"".join(pad(str(v), 8) for v in pmaxs)
+    sig_hdr += b"".join(pad(str(v), 8) for v in dmins)
+    sig_hdr += b"".join(pad(str(v), 8) for v in dmaxs)
+    sig_hdr += b"".join(pad("", 80) for _ in range(n_sig))
+    sig_hdr += b"".join(pad(str(v), 8) for v in sprs)
+    sig_hdr += b"".join(pad("", 32) for _ in range(n_sig))
+
+    dig = []
+    for s, pmin, pmax, dmin, dmax in zip(signals, pmins, pmaxs, dmins, dmaxs):
+        gain = (pmax - pmin) / (dmax - dmin)
+        dig.append(np.clip(np.round((np.asarray(s) - pmin) / gain + dmin),
+                           dmin, dmax).astype("<i2"))
+
+    records = []
+    for r in range(n_records):
+        for d in dig:
+            records.append(d[r * int(sfreq):(r + 1) * int(sfreq)].tobytes())
+        if annotations:
+            tal = _record_tal(r, annotations if r == 0 else [])
+            tal = tal.ljust(ann_spr * 2, b"\x00")
+            assert len(tal) == ann_spr * 2, "annotation record overflow"
+            records.append(tal)
+    path.write_bytes(hdr + sig_hdr + b"".join(records))

@@ -73,12 +73,36 @@ def enable_nan_debugging(enable: bool = True) -> None:
     jax.config.update("jax_debug_nans", enable)
 
 
+def _host_isa_fingerprint() -> str:
+    """Short stable hash of the host CPU's ISA feature set. The persistent
+    cache outlives driver sessions, which can land on machines with
+    different microarchitectures — XLA:CPU AOT results embed the compile
+    machine's features and loading them elsewhere risks SIGILL (the
+    cpu_aot_loader logs exactly that). Namespacing the cache dir by the
+    flag set makes each host population get its own cache."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(
+        (platform.machine() + feats).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     """Persistent XLA compilation cache — cuts cold-start compiles for the
     big graphs (200-step sampler scan, fused G/D step) across processes."""
     import os
 
-    cache_dir = cache_dir or os.path.expanduser("~/.cache/sleepgen/jax_cache")
+    cache_dir = cache_dir or os.path.expanduser(
+        f"~/.cache/sleepgen/jax_cache_{_host_isa_fingerprint()}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -16,6 +16,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache (same dir the CLIs use): the suite's cost
+# is dominated by CPU compiles of the same train/eval/sampler graphs on
+# every invocation — cached, a repeat run of the heaviest e2e test drops
+# ~4x. First run after a jaxlib change still pays full compiles.
+from sleepgen.utils.profiling import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import pytest  # noqa: E402
 
 

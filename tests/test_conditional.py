@@ -41,6 +41,11 @@ def cond_cfg(tmp_path_factory):
     cfg.unet.num_classes = N_CLASSES
     cfg.unet.image_size = WINDOW + 8
     cfg.diffusion.num_inference_steps = 4
+    # short chain: the trainers' in-training samplers run the FULL
+    # ancestral loop at val intervals — at the parity T=1000 that alone
+    # cost the two e2e tests here ~400 s of CPU (the full-T loop is
+    # covered by tests/test_schedules.py closed-form checks)
+    cfg.diffusion.timesteps = 32
     return cfg
 
 
@@ -424,6 +429,41 @@ def test_serve_cli_conditional(cond_serve_dirs, tmp_path, monkeypatch, capsys):
     assert (out / "signals_2.npy").exists()
     lines = capsys.readouterr().out.strip().splitlines()
     assert any('"error"' in l and '"request": 1' in l for l in lines)
+
+
+def test_serve_cli_pipelined(cond_serve_dirs, tmp_path, monkeypatch, capsys):
+    """--pipeline double-buffering: every request's artifacts land (the
+    held in-flight request is finalized at EOF), error requests are
+    reported without disturbing the held-request ordering, and outputs
+    match the strict request/response mode per seed."""
+    import io
+    import json
+
+    import numpy as np
+
+    from sleepgen.cli import serve as serve_cli
+
+    arun, lrun = cond_serve_dirs
+    requests = "\n".join([
+        json.dumps({"seeds": [0, 1], "stage": 2}),
+        json.dumps({"seeds": [0, 1]}),  # no stage: error line, no artifact
+        json.dumps({"seeds": [2, 3], "stage": 1}),
+        json.dumps({"seeds": [4, 5], "stage": 2}),
+    ]) + "\n"
+    outs = {}
+    for mode, flags in [("strict", []), ("pipe", ["--pipeline"])]:
+        out = tmp_path / mode
+        monkeypatch.setattr("sys.stdin", io.StringIO(requests))
+        serve_cli.main(["--best_model_path", str(arun),
+                        "--diffusion_path", str(lrun),
+                        "--output_dir", str(out), "--batch_size", "2"]
+                       + flags)
+        assert not (out / "signals_1.npy").exists()
+        outs[mode] = [np.load(out / f"signals_{i}.npy") for i in (0, 2, 3)]
+    for a, b in zip(outs["strict"], outs["pipe"]):
+        np.testing.assert_array_equal(a, b)
+    assert any('"request": 1' in l and '"error"' in l
+               for l in capsys.readouterr().out.splitlines())
 
 
 def test_validate_stage_contract():
