@@ -42,6 +42,11 @@ def main():
     p.add_argument("--mask_start", type=int, default=1000)
     p.add_argument("--mask_len", type=int, default=1000)
     p.add_argument("--num_resample", type=int, default=1)
+    p.add_argument("--batch", type=int, default=32,
+                   help="windows per device dispatch. The repair chain is "
+                        "ONE dispatch per batch (T*num_resample UNet evals); "
+                        "at resample=4 a batch-32 dispatch runs 400+ s, "
+                        "which crashed the TPU worker in round 4 — use 8-16")
     p.add_argument("--latent_erode", type=int, default=4)
     p.add_argument("--n_recordings", type=int, default=40,
                    help="must match the demo_conditional fixture")
@@ -140,7 +145,7 @@ def main():
                          labels=yb if conditional else None,
                          num_resample=args.num_resample)
 
-    bs = 32
+    bs = args.batch
     outs = []
     print(f"[{time.time()-t0:.0f}s] imputing (full {cfg.diffusion.timesteps}"
           f"-step chain, resample={args.num_resample})...", flush=True)

@@ -7,6 +7,10 @@
 #  * first-contact: the command must print TPU_CONTACT_OK once its first
 #    device op completes (demo scripts do an eager trivial jit); attempts
 #    that do not print it within $CONTACT_DEADLINE seconds are restarted.
+#  * post-contact crash: a job that exits nonzero after contact (e.g.
+#    JaxRuntimeError "TPU worker process crashed or restarted" mid-
+#    dispatch — observed in the round-4 queue) is retried like a wedge;
+#    the last rc propagates once MAX_ATTEMPTS is exhausted.
 #  * mid-run stall: after contact, the child's cumulative CPU time is
 #    sampled every 30 s; if it does not advance for $STALL_SECS the attempt
 #    is restarted. STALL_SECS must exceed the longest legitimate remote
@@ -96,7 +100,15 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
     done
     if [ "$frozen" -ge 0 ]; then
       wait "$pid"
-      exit $?
+      rc=$?
+      [ "$rc" -eq 0 ] && exit 0
+      # post-contact crash (e.g. "TPU worker process crashed or restarted"
+      # mid-dispatch): the job is resumable, so retry it like any other
+      # wedge instead of giving up — but propagate the rc once attempts
+      # are exhausted so a deterministic failure still surfaces.
+      last_rc=$rc
+      echo "[retry-supervisor] attempt $attempt exited rc=$rc after contact; retrying" >&2
+      continue
     fi
     continue  # stalled: next attempt
   fi
@@ -105,6 +117,7 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
     wait "$pid"
     rc=$?
     [ "$rc" -eq 0 ] && exit 0
+    last_rc=$rc
     echo "[retry-supervisor] attempt $attempt exited rc=$rc before contact" >&2
     continue
   fi
@@ -112,4 +125,4 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   kill_tree "$pid"
 done
 echo "[retry-supervisor] giving up after $MAX_ATTEMPTS attempts" >&2
-exit 1
+exit "${last_rc:-1}"

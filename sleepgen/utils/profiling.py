@@ -101,8 +101,18 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     big graphs (200-step sampler scan, fused G/D step) across processes."""
     import os
 
-    cache_dir = cache_dir or os.path.expanduser(
-        f"~/.cache/sleepgen/jax_cache_{_host_isa_fingerprint()}")
+    if cache_dir is None:
+        cache_dir = os.path.expanduser(
+            f"~/.cache/sleepgen/jax_cache_{_host_isa_fingerprint()}")
+        # one-time migration from the pre-fingerprint default: this host's
+        # own artifacts are by definition ISA-compatible with itself, so
+        # adopt them instead of paying a full cold recompile
+        legacy = os.path.expanduser("~/.cache/sleepgen/jax_cache")
+        if os.path.isdir(legacy) and not os.path.exists(cache_dir):
+            try:
+                os.rename(legacy, cache_dir)
+            except OSError:
+                pass
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -32,8 +32,11 @@ def fast_knobs(monkeypatch):
     t0 = time.monotonic()
     subprocess.run([sys.executable, "-c", "pass"], check=True)
     startup = time.monotonic() - t0
+    # floor 10 s, not 4: an idle-time probe under-calibrates when load
+    # arrives AFTER it (the concurrent-TPU-training scenario that pushed
+    # startup past 10 s) — ADVICE r4
     monkeypatch.setattr(bench, "CONTACT_DEADLINE",
-                        min(45.0, max(4.0, 20.0 * startup)))
+                        min(45.0, max(10.0, 20.0 * startup)))
     monkeypatch.setattr(bench, "FULL_BUDGET", 8)
     monkeypatch.setattr(bench, "ATTEMPTS", 2)
     monkeypatch.setattr(bench, "POLL_S", 0.1)

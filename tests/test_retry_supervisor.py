@@ -59,18 +59,44 @@ exit 0
     assert state.read_text().strip() == "2"
 
 
-def test_nonzero_exit_after_contact_propagates(tmp_path):
+def test_nonzero_exit_after_contact_retries_then_propagates(tmp_path):
+    # a post-contact crash (TPU worker died mid-dispatch) is retried —
+    # jobs are resumable — and the rc surfaces once attempts are exhausted
     proc, _ = run_supervisor(
         tmp_path, "echo TPU_CONTACT_OK\nexit 7\n",
-        env={"CONTACT_DEADLINE": "30"})
+        env={"CONTACT_DEADLINE": "30", "MAX_ATTEMPTS": "2"})
     assert proc.returncode == 7
+    assert proc.stderr.count("attempt") >= 2
+    assert "giving up" in proc.stderr
+
+
+def test_crash_after_contact_then_success(tmp_path):
+    # attempt 1 makes contact then crashes (the round-4 queue failure
+    # mode: JaxRuntimeError after a TPU worker restart); attempt 2 of the
+    # resumable job must run and succeed
+    state = tmp_path / "attempts"
+    body = f"""
+n=$(cat {state} 2>/dev/null || echo 0)
+echo $((n + 1)) > {state}
+echo TPU_CONTACT_OK
+if [ "$n" -eq 0 ]; then
+  exit 9
+fi
+echo recovered
+exit 0
+"""
+    proc, log = run_supervisor(tmp_path, body,
+                               env={"CONTACT_DEADLINE": "30"})
+    assert proc.returncode == 0
+    assert "recovered" in log.read_text()
+    assert state.read_text().strip() == "2"
 
 
 def test_gives_up_after_max_attempts(tmp_path):
     proc, _ = run_supervisor(
         tmp_path, "exit 3\n",
         env={"CONTACT_DEADLINE": "6", "MAX_ATTEMPTS": "2"})
-    assert proc.returncode == 1
+    assert proc.returncode == 3  # last attempt's rc propagates
     assert "giving up" in proc.stderr
 
 
