@@ -30,6 +30,13 @@ COND=/tmp/sleepgen_demo_cond
 REFB=/tmp/sleepgen_refbatch
 DEC=/tmp/sleepgen_decode_r4
 
+# Explicit first-contact probe: the supervisor greps THIS script's stdout
+# for TPU_CONTACT_OK, but stage 1 redirects its child's stdout to a file
+# (which ate the marker in the first r5 launch — every attempt died at the
+# contact deadline). Print the marker from the queue itself.
+python -c "from sleepgen.utils.profiling import enable_compilation_cache, \
+tpu_contact; enable_compilation_cache(); tpu_contact()"
+
 ensure_cond_dm() {  # conditional-DM dependency for stages 8-9
   if [ ! -d $COND/cond_dm ]; then
     echo "[queue] $COND/cond_dm missing (/tmp wiped) — retraining the" \
