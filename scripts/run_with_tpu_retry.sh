@@ -28,6 +28,11 @@ LOG=$1; shift
 CONTACT_DEADLINE=${CONTACT_DEADLINE:-240}
 STALL_SECS=${STALL_SECS:-2700}
 MAX_ATTEMPTS=${MAX_ATTEMPTS:-8}
+# poll/grace knobs exist so the test suite can drive the supervisor with
+# sub-second fake jobs; production defaults are deliberately coarse
+POLL_S=${POLL_S:-5}                  # contact-marker poll (may be fractional)
+KILL_GRACE_S=${KILL_GRACE_S:-2}      # SIGTERM->SIGKILL grace
+STALL_POLL_S=${STALL_POLL_S:-30}     # CPU-tick sampling period (integer)
 
 cpu_ticks() {
   # cumulative utime+stime (clock ticks) of pid $1 plus ALL live
@@ -58,7 +63,7 @@ cpu_ticks() {
 
 kill_tree() {  # job runs as a session leader (setsid): pgid == pid
   kill -- "-$1" 2>/dev/null || kill "$1" 2>/dev/null
-  sleep 2
+  sleep "$KILL_GRACE_S"
   kill -9 -- "-$1" 2>/dev/null || kill -9 "$1" 2>/dev/null
 }
 
@@ -69,8 +74,9 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   echo "[retry-supervisor] attempt $attempt pid $pid" >&2
 
   ok=""
-  for ((i = 0; i < CONTACT_DEADLINE / 5; i++)); do
-    sleep 5
+  SECONDS=0
+  while [ "$SECONDS" -lt "$CONTACT_DEADLINE" ]; do
+    sleep "$POLL_S"
     kill -0 "$pid" 2>/dev/null || break
     if grep -q TPU_CONTACT_OK "$LOG"; then ok=1; break; fi
   done
@@ -82,11 +88,11 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
     last_ticks=$(cpu_ticks "$pid")
     frozen=0
     while kill -0 "$pid" 2>/dev/null; do
-      sleep 30
+      sleep "$STALL_POLL_S"
       now_ticks=$(cpu_ticks "$pid")
       [ -z "$now_ticks" ] && break
       if [ "$now_ticks" = "$last_ticks" ]; then
-        frozen=$((frozen + 30))
+        frozen=$((frozen + STALL_POLL_S))
         if [ "$frozen" -ge "$STALL_SECS" ]; then
           echo "[retry-supervisor] CPU frozen ${frozen}s mid-run; restarting" >&2
           kill_tree "$pid"

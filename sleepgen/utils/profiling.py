@@ -74,26 +74,37 @@ def enable_nan_debugging(enable: bool = True) -> None:
 
 
 def _host_isa_fingerprint() -> str:
-    """Short stable hash of the host CPU's ISA feature set. The persistent
-    cache outlives driver sessions, which can land on machines with
-    different microarchitectures — XLA:CPU AOT results embed the compile
-    machine's features and loading them elsewhere risks SIGILL (the
-    cpu_aot_loader logs exactly that). Namespacing the cache dir by the
-    flag set makes each host population get its own cache."""
+    """Short stable hash of the host CPU's identity. The persistent cache
+    outlives driver sessions, which can land on machines with different
+    microarchitectures — XLA:CPU AOT results embed the compile machine's
+    target features and loading them elsewhere risks SIGILL (the
+    cpu_aot_loader logs exactly that). Namespacing the cache dir by host
+    identity gives each host population its own cache.
+
+    The hash covers vendor/family/model/stepping *in addition to* the
+    flag set: XLA:CPU derives tuning features from the CPU *model*, not
+    just its flags (e.g. ``prefer-no-gather``/``prefer-no-scatter`` on
+    gather-slow Intel models), so two hosts with identical cpuinfo flags
+    but different models write mutually unloadable AOT results — observed
+    live as every cache load failing with "Machine type used for XLA:CPU
+    compilation doesn't match the machine type for execution"."""
     import hashlib
     import platform
 
-    feats = ""
+    keys = ("vendor_id", "cpu family", "model", "model name", "stepping",
+            "flags")
+    ident = [platform.machine()]
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+                k, _, v = line.partition(":")
+                if k.strip() in keys:
+                    ident.append(f"{k.strip()}={' '.join(sorted(v.split()))}")
+                if line.strip() == "" and len(ident) > 1:
+                    break  # first core only; all cores are identical
     except OSError:
         pass
-    return hashlib.sha256(
-        (platform.machine() + feats).encode()).hexdigest()[:12]
+    return hashlib.sha256("|".join(ident).encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
@@ -104,15 +115,12 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     if cache_dir is None:
         cache_dir = os.path.expanduser(
             f"~/.cache/sleepgen/jax_cache_{_host_isa_fingerprint()}")
-        # one-time migration from the pre-fingerprint default: this host's
-        # own artifacts are by definition ISA-compatible with itself, so
-        # adopt them instead of paying a full cold recompile
-        legacy = os.path.expanduser("~/.cache/sleepgen/jax_cache")
-        if os.path.isdir(legacy) and not os.path.exists(cache_dir):
-            try:
-                os.rename(legacy, cache_dir)
-            except OSError:
-                pass
+        # NO migration from older/other fingerprint dirs: a previous
+        # rename-based migration is exactly how foreign-host CPU AOT
+        # entries ended up behind this host's fingerprint (every load
+        # failed with a cpu_aot_loader machine-type mismatch and the
+        # entry, being present, was never overwritten — a permanently
+        # poisoned cache). A new host identity pays one cold recompile.
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

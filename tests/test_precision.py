@@ -173,8 +173,11 @@ def test_fast_math_training_grads_track_strict():
         pred = model.apply({"params": p}, noisy, t)
         return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
 
-    l_s, g_s = jax.value_and_grad(lambda p: loss(strict, p))(params)
-    l_f, g_f = jax.value_and_grad(lambda p: loss(fast, p))(params)
+    # jit the grad computations: eager op-by-op dispatch of the UNet VJP
+    # took ~60 s/run on 1 CPU and is invisible to the persistent compile
+    # cache; jitted, warm runs load both executables from disk
+    l_s, g_s = jax.jit(jax.value_and_grad(lambda p: loss(strict, p)))(params)
+    l_f, g_f = jax.jit(jax.value_and_grad(lambda p: loss(fast, p)))(params)
     np.testing.assert_allclose(float(l_f), float(l_s), rtol=1e-2)
 
     vs = np.concatenate([np.asarray(l, np.float64).ravel()

@@ -20,10 +20,13 @@ def run_supervisor(tmp_path, body: str, env: dict, timeout: int = 120):
     cmd.write_text("#!/bin/bash\n" + body)
     cmd.chmod(0o755)
     log = tmp_path / "job.log"
+    # sub-second poll/grace: the fake jobs are instant, so the suite
+    # shouldn't pay the production 5 s marker poll / 2 s kill grace
+    fast = {"POLL_S": "0.2", "KILL_GRACE_S": "0.2"}
     proc = subprocess.run(
         ["bash", str(SCRIPT), str(log), str(cmd)],
         capture_output=True, text=True, timeout=timeout,
-        env={"PATH": "/usr/bin:/bin", **env},
+        env={"PATH": "/usr/bin:/bin", **fast, **env},
     )
     return proc, log
 
@@ -52,7 +55,7 @@ echo recovered
 exit 0
 """
     proc, log = run_supervisor(tmp_path, body,
-                               env={"CONTACT_DEADLINE": "6"})
+                               env={"CONTACT_DEADLINE": "2"})
     assert proc.returncode == 0
     assert "recovered" in log.read_text()
     assert "no TPU contact" in proc.stderr
@@ -95,7 +98,7 @@ exit 0
 def test_gives_up_after_max_attempts(tmp_path):
     proc, _ = run_supervisor(
         tmp_path, "exit 3\n",
-        env={"CONTACT_DEADLINE": "6", "MAX_ATTEMPTS": "2"})
+        env={"CONTACT_DEADLINE": "2", "MAX_ATTEMPTS": "2"})
     assert proc.returncode == 3  # last attempt's rc propagates
     assert "giving up" in proc.stderr
 
@@ -117,7 +120,8 @@ exit 0
 """
     proc, log = run_supervisor(tmp_path, body,
                                env={"CONTACT_DEADLINE": "30",
-                                    "STALL_SECS": "30"}, timeout=240)
+                                    "STALL_POLL_S": "1",
+                                    "STALL_SECS": "3"}, timeout=240)
     assert proc.returncode == 0
     assert "finished" in log.read_text()
     assert "CPU frozen" in proc.stderr
@@ -130,7 +134,7 @@ def test_busy_grandchild_prevents_false_stall(tmp_path):
     # CPU accounting covers the whole process tree
     body = """
 echo TPU_CONTACT_OK
-( end=$((SECONDS + 45)); while [ $SECONDS -lt $end ]; do :; done ) &
+( end=$((SECONDS + 8)); while [ $SECONDS -lt $end ]; do :; done ) &
 worker=$!
 wait $worker
 echo finished
@@ -138,7 +142,8 @@ exit 0
 """
     proc, log = run_supervisor(tmp_path, body,
                                env={"CONTACT_DEADLINE": "30",
-                                    "STALL_SECS": "30"}, timeout=240)
+                                    "STALL_POLL_S": "1",
+                                    "STALL_SECS": "3"}, timeout=240)
     assert proc.returncode == 0
     assert "finished" in log.read_text()
     assert "CPU frozen" not in proc.stderr
