@@ -37,11 +37,17 @@ DEC=/tmp/sleepgen_decode_r4
 python -c "from sleepgen.utils.profiling import enable_compilation_cache, \
 tpu_contact; enable_compilation_cache(); tpu_contact()"
 
+# Persistent dependency store (VERDICT r4 stretch #9): repopulate /tmp
+# from ~/.cache hardlink snapshots so a wiped /tmp doesn't retrain hours
+# of dependencies; re-bank after every expensive producer below.
+scripts/bank_gate_deps.sh restore
+
 ensure_cond_dm() {  # conditional-DM dependency for stages 8-9
   if [ ! -d $COND/cond_dm ]; then
     echo "[queue] $COND/cond_dm missing (/tmp wiped) — retraining the" \
          "conditional DM (~80 min); DEMO_COND_r3.json is NOT overwritten" >&2
     python scripts/demo_conditional.py --out $COND
+    scripts/bank_gate_deps.sh bank
   fi
 }
 
@@ -50,19 +56,25 @@ ensure_usleep() {   # trained USleep feature space for stages 5-7
     echo "[queue] $DEC/usleep_run missing — training USleep feature net" >&2
     python scripts/demo_decode.py --out $DEC \
       --skip a,c,ref --report $DEC/decode_report.json
+    scripts/bank_gate_deps.sh bank
   fi
 }
 
 ensure_refbatch() {  # stage-5 run dirs, needed again by stage 7
-  if [ ! -d $REFB/demo_aekl ] || [ ! -d $REFB/samples ]; then
-    echo "[queue] $REFB run dirs missing — (re)running the reference-batch" \
-         "flagship demo" >&2
+  # Guard on report.json (written LAST by the demo): a partial dir can't
+  # be mistaken for complete, and a rerun into the same --out RESUMES the
+  # trainers from their run-dir checkpoints (train_aekl.py restore_latest)
+  # instead of losing hours to a supervisor restart.
+  if [ ! -f $REFB/report.json ]; then
+    echo "[queue] $REFB incomplete — (re)running the reference-batch" \
+         "flagship demo (resumes from checkpoints if present)" >&2
     ensure_usleep
     python scripts/demo_synthetic_e2e.py --out $REFB \
       --n_recordings 2926 --duration_s 60 --batch_size 2048 \
       --ldm_batch_size 1024 --aekl_epochs 400 --ldm_epochs 2000 \
       --fast_train_math --sampler both --sample_steps 200 \
       --usleep_checkpoint $DEC/usleep_run
+    scripts/bank_gate_deps.sh bank
   fi
 }
 
@@ -109,6 +121,7 @@ if [ ! -f DEMO_r4_refbatch_spectral.json ]; then
     --fast_train_math --sampler both --sample_steps 200 --spe \
     --usleep_checkpoint $DEC/usleep_run
   cp /tmp/sleepgen_refbatch_spec/report.json DEMO_r4_refbatch_spectral.json
+  scripts/bank_gate_deps.sh bank
 fi
 
 # 7. per-band MS-SSIM/FID table off stage 5's run dirs — rebuilds them if
