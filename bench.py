@@ -97,6 +97,54 @@ def main():
     }))
 
 
+def _wait_for_tpu_exclusive(max_wait_s=None):
+    """Block until no gate-queue process holds the TPU (bounded).
+
+    The relay serves ONE client; a second one deadlocks waiting forever
+    (memory: single TPU client). The driver runs bench.py at end-of-round
+    while a detached gate queue (scripts/run_r5_queue.sh under
+    run_with_tpu_retry.sh) may still be training — so scan /proc cmdlines
+    for a live queue/supervisor and wait for it to finish before
+    dispatching. Detection only; never kills anything. Bounded by
+    $SLEEPGEN_TPU_WAIT_SECS (default 5400 s) after which the bench
+    proceeds and takes its chances with its own retry supervision.
+    """
+    import os
+    import sys
+
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("SLEEPGEN_TPU_WAIT_SECS", 5400))
+    needles = (b"run_r5_queue.sh", b"run_r4_queue2.sh", b"run_with_tpu_retry")
+    t0 = time.monotonic()
+    warned = False
+    while time.monotonic() - t0 < max_wait_s:
+        holders = []
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == os.getpid():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+            except OSError:
+                continue
+            if any(n in cmd for n in needles):
+                holders.append(pid)
+        if not holders:
+            if warned:
+                print("bench: TPU queue finished; proceeding",
+                      file=sys.stderr, flush=True)
+            return
+        if not warned or int(time.monotonic() - t0) % 300 < 30:
+            print(f"bench: waiting for TPU gate queue (pids {holders}) — "
+                  f"{int(time.monotonic() - t0)}s elapsed of "
+                  f"{int(max_wait_s)}s budget", file=sys.stderr, flush=True)
+            warned = True
+        time.sleep(30)
+    print(f"bench: queue still alive after {int(max_wait_s)}s — proceeding "
+          "anyway (bench retries may contend with it)",
+          file=sys.stderr, flush=True)
+
+
 def _supervised():
     """Run main() in a child process with timeout+retry.
 
@@ -176,4 +224,5 @@ if __name__ == "__main__":
     if os.environ.get("SLEEPGEN_BENCH_CHILD"):
         main()
     else:
+        _wait_for_tpu_exclusive()
         _supervised()

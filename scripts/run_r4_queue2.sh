@@ -1,4 +1,8 @@
 #!/bin/bash
+# SUPERSEDED by run_r5_queue.sh (session-proof dep rebuilds + persistent
+# dep bank + artifact-after-rc-check). Kept as the round-4 record only;
+# do not launch for new gates.
+#
 # Round-4 TPU queue 2 — runs after run_r3_session3_queue.sh (the
 # conditional/impute gates). Every stage skips itself when its repo-root
 # JSON exists, so supervisor restarts resume at the first unfinished
@@ -20,7 +24,10 @@
 # Run under the supervisor:
 #   CONTACT_DEADLINE=240 STALL_SECS=2700 MAX_ATTEMPTS=20 \
 #     scripts/run_with_tpu_retry.sh /tmp/r4_queue2.log scripts/run_r4_queue2.sh
-set -eu
+# pipefail: a bench crash mid-pipe must fail the stage, not ship a
+# truncated artifact that the exists-means-done gating then skips forever
+# (ADVICE r4). run_r5_queue.sh additionally rc-checks before writing.
+set -euo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD:/root/.axon_site
 
