@@ -150,6 +150,16 @@ def main():
     print(f"[{time.time()-t0:.0f}s] imputing (full {cfg.diffusion.timesteps}"
           f"-step chain, resample={args.num_resample})...", flush=True)
     for i in range(0, n, bs):
+        # per-dispatch persistence: this workload crashed the TPU worker in
+        # round 4, so a supervisor restart must not redo completed ~100 s
+        # dispatches (key includes the knobs that change the output)
+        part = out / (f"imputed_part_{i}_{bs}_{args.num_resample}"
+                      f"_{args.mask_start}_{args.mask_len}.npy")
+        if part.exists():
+            outs.append(np.load(part))
+            print(f"[{time.time()-t0:.0f}s]   batch {i}: restored "
+                  f"{part.name}", flush=True)
+            continue
         xb, yb = x_pad[i : i + bs], yv[i : i + bs]
         real = len(xb)
         if real < bs:
@@ -158,7 +168,10 @@ def main():
         fixed = repair(best["params"], jnp.asarray(xb),
                        jnp.asarray(yb, jnp.int32),
                        jax.random.fold_in(jax.random.PRNGKey(0), i))
-        outs.append(np.asarray(jax.device_get(fixed), np.float32)[:real])
+        got = np.asarray(jax.device_get(fixed), np.float32)[:real]
+        np.save(part, got)
+        outs.append(got)
+        print(f"[{time.time()-t0:.0f}s]   batch {i}: done", flush=True)
     imputed = np.concatenate(outs)[:, BORDER_PAD:-BORDER_PAD, 0]
     orig = xv[..., 0]
     np.save(out / "imputed.npy", imputed)

@@ -73,8 +73,18 @@ def main():
           f"+ {len(gen)} synthetic ({gen_file.name}); {args.seeds} seeds",
           flush=True)
 
-    runs = []
+    # per-seed persistence so a supervisor restart resumes at the first
+    # unfinished seed instead of retraining all arms (queue sessions are
+    # restart-prone; same pattern as the demo scripts' per-section JSONs)
+    prog_path = cond / "aug_regate_progress.json"
+    runs = (json.loads(prog_path.read_text())
+            if prog_path.exists() else [])
+    done = {r["seed"] for r in runs}
     for seed in range(args.seeds):
+        if seed in done:
+            print(f"[{time.time()-t0:.0f}s] seed {seed}: restored from "
+                  f"{prog_path.name}", flush=True)
+            continue
         dec_low = train_decoder(
             SleepStagerChambon2018(n_chans=1, sfreq=100, dropout=0.5),
             (x[low_m], y[low_m]), (x[va_m], y[va_m]),
@@ -86,9 +96,11 @@ def main():
         runs.append({"seed": seed,
                      "real_only_bal_acc": dec_low.best_valid_bal_acc,
                      "real_plus_synth_bal_acc": dec_aug.best_valid_bal_acc})
+        prog_path.write_text(json.dumps(runs))
         print(f"[{time.time()-t0:.0f}s] seed {seed}: real-only "
               f"{dec_low.best_valid_bal_acc:.4f} vs +synth "
               f"{dec_aug.best_valid_bal_acc:.4f}", flush=True)
+    runs.sort(key=lambda r: r["seed"])
 
     low = np.array([r["real_only_bal_acc"] for r in runs])
     aug = np.array([r["real_plus_synth_bal_acc"] for r in runs])
