@@ -115,12 +115,23 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     if cache_dir is None:
         cache_dir = os.path.expanduser(
             f"~/.cache/sleepgen/jax_cache_{_host_isa_fingerprint()}")
-        # NO migration from older/other fingerprint dirs: a previous
-        # rename-based migration is exactly how foreign-host CPU AOT
-        # entries ended up behind this host's fingerprint (every load
-        # failed with a cpu_aot_loader machine-type mismatch and the
-        # entry, being present, was never overwritten — a permanently
-        # poisoned cache). A new host identity pays one cold recompile.
+        # NO migration from older/other fingerprint dirs: fingerprinted
+        # dirs keep genuinely-foreign AOT artifacts (real SIGILL risk)
+        # from traveling between host populations; a new host identity
+        # pays one cold recompile.
+        #
+        # Do NOT chase the cpu_aot_loader.cc:210 "machine type doesn't
+        # match" error spam as cache poisoning: on this jaxlib (0.9.0)
+        # BOTH feature lists in that message are derived live at load
+        # time — the compile list from LLVM's tuned target config (which
+        # appends model-tuning features like +prefer-no-gather/-scatter)
+        # and the host list from CPUID detection (which never contains
+        # tuning features) — so every load of a scatter/gather-bearing
+        # executable logs it, on entries THIS host wrote seconds ago.
+        # Measured: the load still proceeds and the cache works (mini
+        # sampler workload: 38 s uncached vs 17-25 s warm); patching the
+        # feature strings inside entries changes nothing because the
+        # entry contents are not what is compared.
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
