@@ -85,11 +85,12 @@ def main(argv=None) -> None:
         from sleepgen.train.train_ldm import build_unet
 
         from sleepgen.train.train_ldm import init_unet_template
+        from sleepgen.utils import jit_init
 
         ae, _ = build_models(cfg, dtype)
         unet = build_unet(cfg, lc, lc, dtype)
         x = jnp.zeros((2, window, in_ch), dtype)
-        ae_params = ae.init({"params": rng}, x, rng)["params"]
+        ae_params = jit_init(ae, {"params": rng}, x, rng)["params"]
         conditional = cfg.unet.num_classes > 0
         # conditional configs warm the labeled graphs (shared template
         # helper keeps the init args in one place)

@@ -18,6 +18,7 @@ import optax
 
 from sleepgen.data.staging import balanced_class_weights
 from sleepgen.parallel import make_mesh, shard_batch
+from sleepgen.utils import jit_init
 
 
 def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
@@ -79,8 +80,8 @@ def train_decoder(
     x_valid, y_valid = valid_xy
 
     rng = jax.random.PRNGKey(seed)
-    variables = model.init({"params": rng, "dropout": rng},
-                           jnp.asarray(x_train[:2], dtype), train=False)
+    variables = jit_init(model, {"params": rng, "dropout": rng},
+                         jnp.asarray(x_train[:2], dtype), train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 

@@ -41,7 +41,7 @@ from sleepgen.losses import (
 from sleepgen.nn import AutoencoderKL, PatchDiscriminator
 from sleepgen.parallel import (make_mesh, prefetch_to_device,
                                replicate, shard_batch)
-from sleepgen.utils import CheckpointManager, MetricsLogger, setup_run_dir
+from sleepgen.utils import CheckpointManager, MetricsLogger, jit_init, setup_run_dir
 
 
 @struct.dataclass
@@ -106,8 +106,8 @@ def init_state(cfg: Config, rng: jax.Array, window: int = 3072,
     ae, disc = build_models(cfg, dtype)
     x = jnp.zeros((2, window, cfg.aekl.in_channels), dtype)
     rng, k1, k2, k3 = jax.random.split(rng, 4)
-    vars_g = ae.init({"params": k1}, x, k2)
-    vars_d = disc.init({"params": k3}, x, train=True)
+    vars_g = jit_init(ae, {"params": k1}, x, k2)
+    vars_d = jit_init(disc, {"params": k3}, x, train=True)
     opt_g = optax.adam(cfg.losses.optimizer_g_lr)
     opt_d = optax.adam(cfg.losses.optimizer_d_lr)
     state = AEKLState(

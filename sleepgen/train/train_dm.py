@@ -27,7 +27,7 @@ from sleepgen.train.train_ldm import (
     build_unet,
     make_schedule,
 )
-from sleepgen.utils import CheckpointManager, MetricsLogger, setup_run_dir
+from sleepgen.utils import CheckpointManager, MetricsLogger, jit_init, setup_run_dir
 
 DM_SPECTRAL_WEIGHT = 1e-6  # train_pure_ldm.py:158
 
@@ -121,10 +121,10 @@ def train_dm(
 
     conditional = cfg.unet.num_classes > 0
     window = train_ds.padded_window
-    params = unet.init(rng, jnp.zeros((2, window, 1), jnp.float32),
-                       jnp.zeros((2,), jnp.int32),
-                       jnp.zeros((2,), jnp.int32) if conditional else None,
-                       )["params"]
+    params = jit_init(unet, rng, jnp.zeros((2, window, 1), jnp.float32),
+                      jnp.zeros((2,), jnp.int32),
+                      jnp.zeros((2,), jnp.int32) if conditional else None,
+                      )["params"]
     opt = optax.adam(cfg.train.base_lr)
     state = DiffusionState(
         step=jnp.zeros((), jnp.int32),

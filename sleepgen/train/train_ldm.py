@@ -33,7 +33,7 @@ from sleepgen.diffusion import NoiseSchedule
 from sleepgen.nn import AutoencoderKL, UNet1d
 from sleepgen.parallel import (make_mesh, prefetch_to_device,
                                replicate, shard_batch)
-from sleepgen.utils import CheckpointManager, MetricsLogger, setup_run_dir
+from sleepgen.utils import CheckpointManager, MetricsLogger, jit_init, setup_run_dir
 
 
 @struct.dataclass
@@ -84,7 +84,7 @@ def init_unet_template(cfg: Config, unet: UNet1d, sample_shape,
                  jnp.zeros((2,), jnp.int32))
     if cfg.unet.num_classes > 0:
         init_args += (jnp.zeros((2,), jnp.int32),)
-    tpl = {"params": jax.device_get(unet.init(*init_args)["params"])}
+    tpl = {"params": jax.device_get(jit_init(unet, *init_args)["params"])}
     if with_scale_factor:
         tpl["scale_factor"] = np.zeros((), np.float32)
     return tpl
@@ -253,9 +253,9 @@ def train_ldm(
 
     latent_len = first_batch.shape[1] // 2 ** (len(aekl_cfg.aekl.num_channels) - 1)
     z0 = jnp.zeros((2, latent_len, latent_channels), jnp.float32)
-    params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32),
-                       jnp.zeros((2,), jnp.int32) if conditional else None,
-                       )["params"]
+    params = jit_init(unet, rng, z0, jnp.zeros((2,), jnp.int32),
+                      jnp.zeros((2,), jnp.int32) if conditional else None,
+                      )["params"]
     opt = optax.adam(cfg.train.base_lr)
     ema_decay = cfg.diffusion.ema_decay
     state = DiffusionState(

@@ -23,6 +23,7 @@ from flax.core import FrozenDict
 from sleepgen.diffusion.ddpm_v1 import DDPMTables, p_losses
 from sleepgen.losses.kl import kl_gaussian
 from sleepgen.nn.aekl_v1 import AutoencoderKLV1
+from sleepgen.utils import jit_init
 from sleepgen.nn.discriminator import DiscriminatorV1
 
 
@@ -102,8 +103,8 @@ def init_v1_encoder_state(
 ) -> Tuple[V1EncoderState, Any, Any]:
     x = jnp.zeros((2, window, 1))
     rng, k1, k2, k3 = jax.random.split(rng, 4)
-    vars_g = ae.init({"params": k1}, x, k2)
-    vars_d = disc.init({"params": k3}, x, train=True)
+    vars_g = jit_init(ae, {"params": k1}, x, k2)
+    vars_d = jit_init(disc, {"params": k3}, x, train=True)
     # grad-clip 1.0 parity (train_encoder.py:185,205)
     opt_g = optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr_g))
     opt_d = optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr_d))
@@ -243,7 +244,7 @@ def train_v1_ddpm(
                           attention_resolutions=(2,))
     rng = jax.random.PRNGKey(seed)
     z0 = jnp.zeros((2, latent_len, ae.embed_dim), jnp.float32)
-    params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+    params = jit_init(unet, rng, z0, jnp.zeros((2,), jnp.int32))["params"]
     opt = optax.adam(base_lr)
     opt_state = opt.init(params)
     stage1_params = replicate(mesh, stage1_params)

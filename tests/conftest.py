@@ -23,6 +23,9 @@ jax.config.update("jax_platforms", "cpu")
 from sleepgen.utils.profiling import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+# Tests re-pay many 0.3-1 s CPU compiles every run (the production
+# threshold of 1 s is tuned for TPU graphs); persist them too.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import pytest  # noqa: E402
 

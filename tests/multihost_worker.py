@@ -58,6 +58,7 @@ def main() -> None:
     import numpy as np
     import optax
 
+    from sleepgen.utils import jit_init
     from sleepgen.config import Config
     from sleepgen.parallel import batch_sharding, make_mesh, replicated
     from sleepgen.train.train_aekl import build_models
@@ -83,10 +84,10 @@ def main() -> None:
     ae, _ = build_models(cfg, jnp.float32)
     unet = build_unet(cfg, 1, 1, jnp.float32)
     x0 = jnp.zeros((2, window, 1), jnp.float32)
-    ae_params = jax.device_get(ae.init({"params": rng}, x0, rng)["params"])
+    ae_params = jax.device_get(jit_init(ae, {"params": rng}, x0, rng)["params"])
     z0 = jnp.zeros((2, window // 4, 1), jnp.float32)
     unet_params = jax.device_get(
-        unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"])
+        jit_init(unet, rng, z0, jnp.zeros((2,), jnp.int32))["params"])
 
     mesh = make_mesh()
     bsh, rsh = batch_sharding(mesh), replicated(mesh)

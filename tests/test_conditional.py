@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 import jax
+from sleepgen.utils import jit_init
 import jax.numpy as jnp
 
 from sleepgen.config import Config
@@ -84,7 +85,7 @@ def test_conditional_train_dm_end_to_end(cond_cfg, cond_ds):
     from sleepgen.utils import CheckpointManager
 
     unet = build_unet(cond_cfg, 1, 1, jnp.float32)
-    tpl = {"params": jax.device_get(unet.init(
+    tpl = {"params": jax.device_get(jit_init(unet,
         jax.random.PRNGKey(0),
         jnp.zeros((2, train.padded_window, 1), jnp.float32),
         jnp.zeros((2,), jnp.int32),
@@ -114,7 +115,7 @@ def test_conditional_train_dm_end_to_end(cond_cfg, cond_ds):
 def test_conditioning_changes_samples_and_is_seed_deterministic(cond_cfg):
     unet = build_unet(cond_cfg, 1, 1, jnp.float32)
     window = WINDOW + 8
-    params = unet.init(jax.random.PRNGKey(1),
+    params = jit_init(unet, jax.random.PRNGKey(1),
                        jnp.zeros((2, window, 1), jnp.float32),
                        jnp.zeros((2,), jnp.int32),
                        jnp.zeros((2,), jnp.int32))["params"]
@@ -159,7 +160,7 @@ def test_ddpm_cli_conditional_stage(cond_cfg, tmp_path):
     cfg.unet.image_size = window
     cfg.to_yaml(run_dir / "config.yaml")
     unet = build_unet(cfg, 1, 1, jnp.float32)
-    params = unet.init(jax.random.PRNGKey(0),
+    params = jit_init(unet, jax.random.PRNGKey(0),
                        jnp.zeros((2, window, 1), jnp.float32),
                        jnp.zeros((2,), jnp.int32),
                        jnp.zeros((2,), jnp.int32))["params"]
@@ -185,17 +186,21 @@ def test_ddpm_cli_conditional_stage(cond_cfg, tmp_path):
 
 
 def _perturbed_params(unet, window, key=2):
-    params = unet.init(jax.random.PRNGKey(1),
+    params = jit_init(unet, jax.random.PRNGKey(1),
                        jnp.zeros((2, window, 1), jnp.float32),
                        jnp.zeros((2,), jnp.int32),
                        jnp.zeros((2,), jnp.int32))["params"]
     # zero-init output conv makes the untrained UNet label-independent;
     # perturb every leaf so conditioning reaches the output
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    keys = jax.random.split(jax.random.PRNGKey(key), len(leaves))
-    return jax.tree_util.tree_unflatten(
-        treedef, [l + 0.01 * jax.random.normal(kk, l.shape, l.dtype)
-                  for l, kk in zip(leaves, keys)])
+    def perturb(params_, key_):
+        leaves, treedef = jax.tree_util.tree_flatten(params_)
+        keys = jax.random.split(key_, len(leaves))
+        return jax.tree_util.tree_unflatten(
+            treedef, [l + 0.01 * jax.random.normal(kk, l.shape, l.dtype)
+                      for l, kk in zip(leaves, keys)])
+
+    # one jitted graph instead of ~300 eager per-leaf dispatches
+    return jax.jit(perturb)(params, jax.random.PRNGKey(key))
 
 
 def test_cfg_null_label_masks_embedding(cond_cfg):
@@ -209,14 +214,15 @@ def test_cfg_null_label_masks_embedding(cond_cfg):
     t = jnp.array([5, 50, 500], jnp.int32)
 
     y_null = jnp.full((3,), -1, jnp.int32)
-    out_null = unet.apply({"params": params}, x, t, y_null)
-    out_c = unet.apply({"params": params}, x, t, jnp.zeros((3,), jnp.int32))
+    apply = jax.jit(unet.apply)  # one cached graph for all four calls
+    out_null = apply({"params": params}, x, t, y_null)
+    out_c = apply({"params": params}, x, t, jnp.zeros((3,), jnp.int32))
     assert not np.allclose(np.asarray(out_null), np.asarray(out_c))
 
     scrambled = jax.tree_util.tree_map_with_path(
         lambda p, l: l + 7.0 if "label_emb" in str(p) else l, params)
-    out_null2 = unet.apply({"params": scrambled}, x, t, y_null)
-    out_c2 = unet.apply({"params": scrambled}, x, t, jnp.zeros((3,), jnp.int32))
+    out_null2 = apply({"params": scrambled}, x, t, y_null)
+    out_c2 = apply({"params": scrambled}, x, t, jnp.zeros((3,), jnp.int32))
     np.testing.assert_array_equal(np.asarray(out_null), np.asarray(out_null2))
     assert not np.allclose(np.asarray(out_c), np.asarray(out_c2))
 
@@ -301,10 +307,14 @@ def test_conditional_train_ldm_and_guided_mesh_sampler(cond_cfg, cond_ds, tmp_pa
     cfg.unet.num_classes = N_CLASSES
     cfg.unet.image_size = (WINDOW + 8) // 4  # latent length
     cfg.diffusion.num_inference_steps = 4
+    # short chain for the in-training ancestral sampler (same rationale as
+    # cond_cfg: at the parity T=1000 the val-time sample loop alone costs
+    # tens of seconds of CPU; full-T covered by test_schedules closed forms)
+    cfg.diffusion.timesteps = 32
 
     ae, _ = build_models(cfg, jnp.float32)
     x0 = jnp.zeros((2, WINDOW + 8, 1), jnp.float32)
-    stage1 = ae.init({"params": jax.random.PRNGKey(0)}, x0,
+    stage1 = jit_init(ae, {"params": jax.random.PRNGKey(0)}, x0,
                      jax.random.PRNGKey(1))["params"]
 
     res = train_ldm(cfg, train, valid, stage1, run_name="cond_ldm")
@@ -314,7 +324,7 @@ def test_conditional_train_ldm_and_guided_mesh_sampler(cond_cfg, cond_ds, tmp_pa
 
     # guided sampling: mesh vs single-device bitwise
     unet = build_unet(cfg, 1, 1, jnp.float32)
-    params = unet.init(jax.random.PRNGKey(1),
+    params = jit_init(unet, jax.random.PRNGKey(1),
                        jnp.zeros((2, cfg.unet.image_size, 1), jnp.float32),
                        jnp.zeros((2,), jnp.int32),
                        jnp.zeros((2,), jnp.int32))["params"]
@@ -489,7 +499,7 @@ def test_unconditional_tree_has_no_label_params():
     cfg.unet.channel_mult = [1, 2]
     cfg.unet.attention_resolutions = [2]
     unet = build_unet(cfg, 1, 1, jnp.float32)
-    params = unet.init(jax.random.PRNGKey(0),
+    params = jit_init(unet, jax.random.PRNGKey(0),
                        jnp.zeros((2, 256, 1), jnp.float32),
                        jnp.zeros((2,), jnp.int32))["params"]
     assert "label_emb" not in params, (

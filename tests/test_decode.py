@@ -1,6 +1,7 @@
 """Downstream sleep-staging subsystem tests (hermetic synthetic stages)."""
 import numpy as np
 import jax
+from sleepgen.utils import jit_init
 import jax.numpy as jnp
 import pytest
 
@@ -85,7 +86,7 @@ def test_chambon_shapes_and_learning():
 
     # single-window stager forward shape
     m1 = SleepStagerChambon2018(n_chans=1, sfreq=100)
-    v = m1.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+    v = jit_init(m1, {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
                 jnp.asarray(x[:2]), train=False)
     out = m1.apply(v, jnp.asarray(x[:2]), train=False)
     assert out.shape == (2, 5)
@@ -96,13 +97,16 @@ def test_deepsleepnet_forward_shapes():
 
     m = DeepSleepNet(n_outputs=5, sfreq=100)
     x = jnp.zeros((2, 3000, 1))
-    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+    v = jit_init(m, {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
                x, train=False)
-    y = m.apply(v, x, train=False)
+    # jitted applies: the eager CNN+BiLSTM dispatch alone is ~15 s on the
+    # 1-core CPU host; one cached graph per input rank
+    apply = jax.jit(lambda v_, x_: m.apply(v_, x_, train=False))
+    y = apply(v, x)
     assert y.shape == (2, 5)
     # sequence mode
     xs = jnp.zeros((2, 3, 3000, 1))
-    ys = m.apply(v, xs, train=False)
+    ys = apply(v, xs)
     assert ys.shape == (2, 3, 5)
 
 
@@ -119,7 +123,7 @@ def test_im2col_conv_matches_nn_conv():
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (2, 301, 3))
     ref = conv1d(8, 50, padding=[(10, 10)])
-    vref = ref.init(rng, x)
+    vref = jit_init(ref, rng, x)
     m = Im2ColConv1d(8, 50, padding=(10, 10))
     y_ref = ref.apply(vref, x)
     y = m.apply(vref, x)
@@ -139,7 +143,7 @@ def test_im2col_conv_strided_same_matches_nn_conv():
     for k, s, t in [(50, 6, 3000), (400, 50, 3000), (7, 3, 29)]:
         x = jax.random.normal(jax.random.fold_in(rng, k), (2, t, 1))
         ref = conv1d(16, k, stride=s, use_bias=False)
-        vref = ref.init(rng, x)
+        vref = jit_init(ref, rng, x)
         m = Im2ColConv1d(16, k, stride=s, padding="SAME", use_bias=False)
         y_ref = ref.apply(vref, x)
         y = m.apply(vref, x)

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 import jax
+from sleepgen.utils import jit_init
 import jax.numpy as jnp
 
 from sleepgen.config import Config
@@ -31,7 +32,7 @@ def small_dm():
     cfg.unet.image_size = WINDOW
     cfg.diffusion.timesteps = 8  # tiny chain: the loop runs all T steps
     unet = build_unet(cfg, 1, 1, jnp.float32)
-    params = unet.init(jax.random.PRNGKey(1),
+    params = jit_init(unet, jax.random.PRNGKey(1),
                        jnp.zeros((2, WINDOW, 1), jnp.float32),
                        jnp.zeros((2,), jnp.int32))["params"]
     # perturb: zero-init out conv would make the model input-independent
@@ -95,7 +96,7 @@ def test_impute_resampling_and_conditional(small_dm):
     cfg2.unet.num_classes = 5
     cfg2.diffusion.timesteps = 8
     unet_c = build_unet(cfg2, 1, 1, jnp.float32)
-    params_c = unet_c.init(jax.random.PRNGKey(1),
+    params_c = jit_init(unet_c, jax.random.PRNGKey(1),
                            jnp.zeros((2, WINDOW, 1), jnp.float32),
                            jnp.zeros((2,), jnp.int32),
                            jnp.zeros((2,), jnp.int32))["params"]
@@ -154,7 +155,7 @@ def small_ldm_dirs(tmp_path_factory):
     lrun.mkdir()
     cfg.to_yaml(lrun / "config.yaml")
     unet = build_unet(cfg, 1, 1, jnp.float32)
-    params = unet.init(jax.random.PRNGKey(1),
+    params = jit_init(unet, jax.random.PRNGKey(1),
                        jnp.zeros((2, WINDOW // 4, 1), jnp.float32),
                        jnp.zeros((2,), jnp.int32))["params"]
     leaves, treedef = jax.tree_util.tree_flatten(params)

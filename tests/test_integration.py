@@ -5,6 +5,7 @@ import json
 from pathlib import Path
 
 import jax
+from sleepgen.utils import jit_init
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -112,7 +113,7 @@ def test_end_to_end_aekl_ldm_sample(tiny_cfg, tiny_ds):
     unet = build_unet(tiny_cfg, 1, 1, jnp.float32)
     z0 = jnp.zeros((2, 64, 1))
     template = {"params": jax.device_get(
-        unet.init(jax.random.PRNGKey(0), z0, jnp.zeros((2,), jnp.int32))["params"]),
+        jit_init(unet, jax.random.PRNGKey(0), z0, jnp.zeros((2,), jnp.int32))["params"]),
         "scale_factor": np.zeros((), np.float32)}
     best = ckpt2.restore_best(template, name="final_model")
     ckpt2.close()

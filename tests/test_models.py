@@ -1,5 +1,6 @@
 """Model geometry + building-block parity tests."""
 import jax
+from sleepgen.utils import jit_init
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -14,7 +15,7 @@ def test_aekl_latent_geometry():
     model = AutoencoderKL(num_channels=(4, 4, 8), latent_channels=3)
     x = jnp.zeros((2, 3072, 1))
     rng = jax.random.PRNGKey(0)
-    params = model.init({"params": rng}, x, rng)
+    params = jit_init(model, {"params": rng}, x, rng)
     recon, z_mu, z_sigma = model.apply(params, x, rng)
     assert z_mu.shape == (2, 768, 3)
     assert z_sigma.shape == (2, 768, 3)
@@ -50,7 +51,7 @@ def test_patch_discriminator_matches_torch_geometry():
     PatchDiscriminator (k3 s2 p1 x3 stages, then s1 x2)."""
     m = PatchDiscriminator()
     x = jnp.zeros((2, 3000, 1))
-    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    variables = jit_init(m, jax.random.PRNGKey(0), x, train=False)
     outs = m.apply(variables, x, train=False)
 
     def tlen(l, k, s, p):
@@ -74,7 +75,7 @@ def test_attention_matches_torch_reference():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(b, l, c)).astype(np.float32)
     m = SelfAttention1d(num_heads=2, zero_out=False)
-    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = jit_init(m, jax.random.PRNGKey(0), jnp.asarray(x))
     out = np.asarray(m.apply(variables, jnp.asarray(x)))
 
     # extract weights: flax conv kernels are (k, in, out)
@@ -101,7 +102,7 @@ def test_groupnorm_matches_torch():
     rng = np.random.default_rng(1)
     x = rng.normal(size=(2, 32, 8)).astype(np.float32)  # (B, L, C)
     m = GroupNorm32(num_groups=4)
-    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = jit_init(m, jax.random.PRNGKey(0), jnp.asarray(x))
     got = np.asarray(m.apply(variables, jnp.asarray(x)))
     want = torch.nn.functional.group_norm(
         torch.from_numpy(x.transpose(0, 2, 1)), 4, eps=1e-6
@@ -163,7 +164,7 @@ def test_blockwise_attention_matches_full():
     # module-level wiring: long sequence with kv_block_size
     m = SelfAttention1d(num_heads=2, zero_out=False, kv_block_size=32)
     x = jnp.asarray(rng.normal(size=(1, 256, 16)).astype(np.float32))
-    variables = m.init(jax.random.PRNGKey(0), x)
+    variables = jit_init(m, jax.random.PRNGKey(0), x)
     m_full = SelfAttention1d(num_heads=2, zero_out=False)
     np.testing.assert_allclose(
         np.asarray(m.apply(variables, x)),
@@ -179,7 +180,7 @@ def test_unet1d_class_conditional():
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 1)), jnp.float32)
     t = jnp.array([1, 900])
     y = jnp.array([0, 4])
-    params = m.init(rng, x, t, y)
+    params = jit_init(m, rng, x, t, y)
     # un-zero every zero-init conv (resblock out_convs + final) so the
     # label path reaches the output at init
     import flax
@@ -193,8 +194,9 @@ def test_unet1d_class_conditional():
                 tree[k] = jnp.full_like(v, 0.01)
 
     unzero(params["params"])
-    out0 = m.apply(params, x, t, jnp.array([0, 0]))
-    out1 = m.apply(params, x, t, jnp.array([1, 1]))
+    apply = jax.jit(m.apply)  # one cached graph for both label batches
+    out0 = apply(params, x, t, jnp.array([0, 0]))
+    out1 = apply(params, x, t, jnp.array([1, 1]))
     assert out0.shape == (2, 64, 1)
     assert not np.allclose(np.asarray(out0), np.asarray(out1))
 
@@ -214,9 +216,9 @@ def test_unet_kv_block_size_matches_full_attention():
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (2, 256, 1))  # attention length 128 > 32
     t = jnp.array([7, 501])
-    params = full.init(rng, x, t)["params"]
-    y_full = full.apply({"params": params}, x, t)
-    y_blk = blk.apply({"params": params}, x, t)
+    params = jit_init(full, rng, x, t)["params"]
+    y_full = jax.jit(full.apply)({"params": params}, x, t)
+    y_blk = jax.jit(blk.apply)({"params": params}, x, t)
     np.testing.assert_allclose(np.asarray(y_blk), np.asarray(y_full),
                                rtol=2e-4, atol=2e-5)
 
@@ -254,16 +256,18 @@ def test_custom_vjp_group_norm_matches_autodiff():
                            .astype(jnp.float32) * dy)
 
         assert float(f_custom(x, scale, bias)) == float(f_auto(x, scale, bias))
-        gc = jax.grad(f_custom, argnums=(0, 1, 2))(x, scale, bias)
+        # grads under jit: eager grad re-dispatches every op (tens of
+        # seconds on the 1-core CPU host); one cached graph per config
+        gc = jax.jit(jax.grad(f_custom, argnums=(0, 1, 2)))(x, scale, bias)
         if cdt is None:
             # strict path: must match autodiff of the identical forward
-            ga = jax.grad(f_auto, argnums=(0, 1, 2))(x, scale, bias)
+            ga = jax.jit(jax.grad(f_auto, argnums=(0, 1, 2)))(x, scale, bias)
             tol = 2e-4
         else:
             # bf16 compute: autodiff of the bf16 graph and the custom
             # backward round differently — the meaningful statement is that
             # both approximate the fp32 truth; compare against that
-            ga = jax.grad(f_auto_fp32, argnums=(0, 1, 2))(x, scale, bias)
+            ga = jax.jit(jax.grad(f_auto_fp32, argnums=(0, 1, 2)))(x, scale, bias)
             tol = 6e-2
         for got, want in zip(gc, ga):
             np.testing.assert_allclose(np.asarray(got, np.float32),
@@ -285,9 +289,10 @@ def test_unet1d_conv_resample_false_is_parameter_free_resampling():
               resblock_updown=False)
     m_conv = UNet1d(conv_resample=True, **kw)
     m_pool = UNet1d(conv_resample=False, **kw)
-    p_conv = m_conv.init(rng, x, t)["params"]
-    p_pool = m_pool.init(rng, x, t)["params"]
+    # eval_shape: only the param-tree structure is under test for m_conv
+    p_conv = jax.eval_shape(m_conv.init, rng, x, t)["params"]
+    p_pool = jit_init(m_pool, rng, x, t)["params"]
     assert any("downconv" in k or "upconv" in k for k in p_conv)
     assert not any("downconv" in k or "upconv" in k for k in p_pool)
-    y = m_pool.apply({"params": p_pool}, x, t)
+    y = jax.jit(m_pool.apply)({"params": p_pool}, x, t)
     assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()

@@ -1,5 +1,6 @@
 """Pallas kernel correctness (interpret mode on CPU) + model-integration."""
 import jax
+from sleepgen.utils import jit_init
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -47,9 +48,9 @@ def test_unet_with_pallas_norm_matches_unfused():
                 attention_resolutions=(2,), use_pallas_norm=False)
     m1 = UNet1d(model_channels=16, channel_mult=(1, 2), num_groups=8,
                 attention_resolutions=(2,), use_pallas_norm=True)
-    p0 = m0.init(rng, x, t)
-    y0 = m0.apply(p0, x, t)
-    y1 = m1.apply(p0, x, t)  # same params by construction
+    p0 = jit_init(m0, rng, x, t)
+    y0 = jax.jit(m0.apply)(p0, x, t)
+    y1 = jax.jit(m1.apply)(p0, x, t)  # same params by construction
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=1e-4, atol=1e-5)
 
@@ -109,8 +110,8 @@ def test_unet_with_fused_resblock_matches_unfused():
               attention_resolutions=(2,))
     m0 = UNet1d(use_fused_resblock=False, **kw)
     m1 = UNet1d(use_fused_resblock=True, **kw)
-    p0 = m0.init(rng, x, t)
-    p1 = m1.init(rng, x, t)
+    p0 = jit_init(m0, rng, x, t)
+    p1 = jit_init(m1, rng, x, t)
     assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
     y0 = m0.apply(p0, x, t)
     y1 = m1.apply(p0, x, t)  # unfused-initialized params through fused graph

@@ -3,6 +3,7 @@
 global batch gives bitwise-comparable losses/params on a 1-device and an
 8-device mesh."""
 import jax
+from sleepgen.utils import jit_init
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,7 +49,7 @@ def test_ldm_step_device_count_invariant():
     sched = make_schedule(cfg)
     unet = build_unet(cfg, 1, 1, jnp.float32)
     z0 = jnp.zeros((2, window // 4, 1), jnp.float32)
-    params0 = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+    params0 = jit_init(unet, rng, z0, jnp.zeros((2,), jnp.int32))["params"]
     opt = optax.adam(1e-4)
 
     batch_np = np.random.default_rng(0).random((8, window, 1)).astype(np.float32)
@@ -107,9 +108,9 @@ def test_sharded_sampling_device_count_invariant():
                                  prediction_type="v_prediction")
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((2, window, 1))
-    ae_params = ae.init({"params": rng}, x, rng)["params"]
+    ae_params = jit_init(ae, {"params": rng}, x, rng)["params"]
     z0 = jnp.zeros((2, latent_len, 1))
-    unet_params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+    unet_params = jit_init(unet, rng, z0, jnp.zeros((2,), jnp.int32))["params"]
     sf = jnp.float32(1.0)
     seeds = jnp.arange(16)
 

@@ -1,6 +1,7 @@
 """Mixed-precision policy tests: bf16 compute must not corrupt sampling,
 and the v_prediction target path must train."""
 import jax
+from sleepgen.utils import jit_init
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -23,7 +24,7 @@ def test_bf16_sampler_tracks_fp32():
     x0 = jnp.zeros((2, 64, 1))
     t0 = jnp.zeros((2,), jnp.int32)
     m32 = _mini_unet(jnp.float32)
-    params = m32.init(rng, x0, t0)["params"]
+    params = jit_init(m32, rng, x0, t0)["params"]
     m16 = _mini_unet(jnp.bfloat16)
 
     sched = NoiseSchedule.create("scaled_linear_beta", 1000, 0.0015, 0.0205,
@@ -60,7 +61,7 @@ def test_v_prediction_training_path():
 
     rng = jax.random.PRNGKey(0)
     unet = _mini_unet(jnp.float32)
-    params = unet.init(rng, jnp.zeros((2, 64, 1)), jnp.zeros((2,), jnp.int32))["params"]
+    params = jit_init(unet, rng, jnp.zeros((2, 64, 1)), jnp.zeros((2,), jnp.int32))["params"]
     opt = optax.adam(1e-3)
     state = DiffusionState(step=jnp.zeros((), jnp.int32), params=params,
                            opt=opt.init(params),
@@ -93,7 +94,7 @@ def test_ema_tracking():
     state_ae, ae, *_ = init_state(cfg, rng, window=256)
     unet = _mini_unet(jnp.float32)
     z0 = jnp.zeros((2, 64, 1))
-    params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+    params = jit_init(unet, rng, z0, jnp.zeros((2,), jnp.int32))["params"]
     opt = optax.adam(1e-2)
     state = DiffusionState(
         step=jnp.zeros((), jnp.int32), params=params, opt=opt.init(params),
@@ -126,11 +127,11 @@ def test_fast_math_sampler_tracks_strict():
     x0 = jnp.zeros((2, 64, 1))
     t0 = jnp.zeros((2,), jnp.int32)
     strict = _mini_unet(jnp.bfloat16)
-    params = strict.init(rng, x0, t0)["params"]
+    params = jit_init(strict, rng, x0, t0)["params"]
     fast = strict.clone(fast_math=True)
 
     # identical param trees: trained checkpoints load into either path
-    fast_params = fast.init(rng, x0, t0)["params"]
+    fast_params = jit_init(fast, rng, x0, t0)["params"]
     assert jax.tree_util.tree_structure(params) == \
         jax.tree_util.tree_structure(fast_params)
 
@@ -160,7 +161,7 @@ def test_fast_math_training_grads_track_strict():
     x0 = jnp.zeros((2, 64, 1))
     t0 = jnp.zeros((2,), jnp.int32)
     strict = _mini_unet(jnp.bfloat16)
-    params = strict.init(rng, x0, t0)["params"]
+    params = jit_init(strict, rng, x0, t0)["params"]
     fast = strict.clone(fast_math=True)
 
     sched = NoiseSchedule.create("linear_beta", 1000, 0.0015, 0.0195)

@@ -1,5 +1,6 @@
 """Int8 quantized inference path tests (sleepgen.nn.quant)."""
 import jax
+from sleepgen.utils import jit_init
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -53,15 +54,15 @@ def test_quantized_unet_close_to_fp():
                   attention_resolutions=(2,), num_groups=8)
     x = jax.random.normal(rng, (2, 64, 1), jnp.float32)
     t = jnp.array([100, 900], jnp.int32)
-    params = unet.init(rng, x, t)["params"]
-    ref = np.asarray(unet.apply({"params": params}, x, t))
+    params = jit_init(unet, rng, x, t)["params"]
+    ref = np.asarray(jax.jit(unet.apply)({"params": params}, x, t))
 
     qunet = UNet1d(in_channels=1, out_channels=1, model_channels=16,
                    channel_mult=(1, 2), num_res_blocks=2,
                    attention_resolutions=(2,), num_groups=8,
                    quantized=True, dtype=jnp.float32)
     qparams = quantize_unet_params(params)
-    got = np.asarray(qunet.apply({"params": qparams}, x, t))
+    got = np.asarray(jax.jit(qunet.apply)({"params": qparams}, x, t))
 
     assert got.shape == ref.shape
     rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
@@ -73,7 +74,7 @@ def test_quantize_unet_params_keeps_dense_and_norms():
                   channel_mult=(1, 2), num_res_blocks=1,
                   attention_resolutions=(), num_groups=8)
     rng = jax.random.PRNGKey(0)
-    params = unet.init(rng, jnp.zeros((1, 32, 1)), jnp.zeros((1,), jnp.int32))["params"]
+    params = jit_init(unet, rng, jnp.zeros((1, 32, 1)), jnp.zeros((1,), jnp.int32))["params"]
     q = quantize_unet_params(params)
     # dense layers untouched
     np.testing.assert_array_equal(q["time_dense_1"]["kernel"],

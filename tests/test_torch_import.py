@@ -8,6 +8,7 @@ import sys
 from pathlib import Path
 
 import jax
+from sleepgen.utils import jit_init
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -61,9 +62,11 @@ def test_unet1d_matches_reference_torch(ref_unet_mod):
                 use_scale_shift_norm=False, resblock_updown=True)
     variables = import_unet1d(tm.state_dict(), channel_mult=(1, 2, 4),
                               num_res_blocks=2, attention_resolutions=(8, 4))
-    # validate the tree is complete against a fresh init
-    ref_init = fm.init(jax.random.PRNGKey(0),
-                       jnp.asarray(x.transpose(0, 2, 1)), jnp.asarray(t))
+    # validate the tree is complete against a fresh init — eval_shape
+    # gives the same tree paths without compiling/running the init graph
+    ref_init = jax.eval_shape(fm.init, jax.random.PRNGKey(0),
+                              jnp.asarray(x.transpose(0, 2, 1)),
+                              jnp.asarray(t))
     want_paths = set(jax.tree_util.tree_map(lambda _: 0, ref_init))
     flat_a = jax.tree_util.tree_leaves_with_path(ref_init)
     flat_b = jax.tree_util.tree_leaves_with_path(variables)
@@ -72,8 +75,8 @@ def test_unet1d_matches_reference_torch(ref_unet_mod):
     assert paths_a == paths_b, (
         f"missing: {sorted(paths_a - paths_b)[:5]} extra: {sorted(paths_b - paths_a)[:5]}")
 
-    got = np.asarray(fm.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
-                              jnp.asarray(t)))
+    got = np.asarray(jax.jit(fm.apply)(variables, jnp.asarray(x.transpose(0, 2, 1)),
+                                        jnp.asarray(t)))
     np.testing.assert_allclose(got.transpose(0, 2, 1), want, rtol=2e-3, atol=2e-4)
 
 
@@ -99,12 +102,12 @@ def test_aekl_v1_matches_reference_torch(ref_aekl_mod):
                                num_res_blocks=1, resolution=256,
                                attn_resolutions=(128,))
     x_f = jnp.asarray(x.transpose(0, 2, 1))
-    mu_f, sigma_f = fm.apply(variables, x_f, method=AutoencoderKLV1.encode)
+    mu_f, sigma_f = jax.jit(lambda v, a: fm.apply(v, a, method=AutoencoderKLV1.encode))(variables, x_f)
     np.testing.assert_allclose(np.asarray(mu_f).transpose(0, 2, 1),
                                mu_t.numpy(), rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(sigma_f).transpose(0, 2, 1),
                                sigma_t.numpy(), rtol=2e-3, atol=2e-4)
-    dec_f = fm.apply(variables, mu_f, method=AutoencoderKLV1.decode)
+    dec_f = jax.jit(lambda v, a: fm.apply(v, a, method=AutoencoderKLV1.decode))(variables, mu_f)
     np.testing.assert_allclose(np.asarray(dec_f).transpose(0, 2, 1),
                                dec_t.numpy(), rtol=2e-3, atol=2e-4)
 
@@ -145,8 +148,8 @@ def test_usleep_matches_reference_torch():
     fm = USleep(in_chans=2, sfreq=100, depth=depth, n_classes=5,
                 input_size_s=30)
     variables = import_usleep(tm.state_dict(), depth=depth)
-    y_f, dec_f, bottom_f = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
-                                    train=False)
+    y_f, dec_f, bottom_f = jax.jit(lambda v, a: fm.apply(v, a, train=False))(
+        variables, jnp.asarray(x.transpose(0, 2, 1)))
     np.testing.assert_allclose(np.asarray(bottom_f).transpose(0, 2, 1),
                                bottom_t.numpy(), rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(y_f), y_t.numpy(), rtol=2e-3,
@@ -198,8 +201,8 @@ def test_chambon_matches_reference_checkpoint():
     fm = SleepStagerChambon2018(n_chans=2, sfreq=100, apply_batch_norm=True,
                                 pad_size_s=0.1)
     variables = import_chambon(sd)
-    got = np.asarray(fm.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
-                              train=False))
+    got = np.asarray(jax.jit(lambda v, a: fm.apply(v, a, train=False))(
+        variables, jnp.asarray(x.transpose(0, 2, 1))))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
@@ -214,7 +217,7 @@ def test_monai_aekl_name_map_roundtrip():
     x = jnp.zeros((1, 256, 1))
     rng = jax.random.PRNGKey(0)
     variables = {"params": jax.device_get(
-        m.init({"params": rng}, x, rng)["params"])}
+        jit_init(m, {"params": rng}, x, rng)["params"])}
 
     sd = export_aekl_monai(variables, num_channels=(4, 4, 8))
     back = import_aekl_monai(sd, num_channels=(4, 4, 8))
@@ -229,7 +232,7 @@ def test_monai_aekl_name_map_roundtrip():
         np.testing.assert_allclose(flat_a[k], flat_b[k], rtol=1e-6, err_msg=k)
 
     # the imported tree must run
-    out = m.apply(back, x, rng)
+    out = jax.jit(m.apply)(back, x, rng)
     assert out[0].shape == (1, 256, 1)
 
 
@@ -244,7 +247,7 @@ def test_unet1d_export_roundtrip_and_pth(tmp_path):
     m = UNet1d(in_channels=1, out_channels=1, model_channels=16,
                channel_mult=(1, 2), num_res_blocks=2,
                attention_resolutions=(2,), num_groups=8)
-    variables = {"params": jax.device_get(m.init(
+    variables = {"params": jax.device_get(jit_init(m,
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 1)),
         jnp.zeros((1,), jnp.int32))["params"])}
 
@@ -279,7 +282,7 @@ def test_import_aekl_monai_strict_guard():
     x = jnp.zeros((1, 256, 1))
     rng = jax.random.PRNGKey(0)
     variables = {"params": jax.device_get(
-        m.init({"params": rng}, x, rng)["params"])}
+        jit_init(m, {"params": rng}, x, rng)["params"])}
     sd = export_aekl_monai(variables, num_channels=(4, 4, 8))
 
     sd_extra = dict(sd)
@@ -310,7 +313,7 @@ def test_chambon_sequence_real_checkpoint_runs():
     m = TimeDistributedStager(n_chans=2, sfreq=100.0)
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(2, 3, 3000, 2)).astype(np.float32))
-    logits = m.apply(variables, x, train=False)
+    logits = jax.jit(lambda v, a: m.apply(v, a, train=False))(variables, x)
     assert logits.shape == (2, 5)
     assert np.isfinite(np.asarray(logits)).all()
     # head dim must match the shipped (5, 720) Linear exactly

@@ -1,6 +1,7 @@
 """v1 trainer smoke tests: one jitted G/D step and one DDPM-v1 step."""
 import pytest
 import jax
+from sleepgen.utils import jit_init
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -39,12 +40,12 @@ def test_v1_ddpm_step():
                          num_groups=4)
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((2, 256, 1))
-    stage1_params = ae.init({"params": rng}, x, rng)["params"]
+    stage1_params = jit_init(ae, {"params": rng}, x, rng)["params"]
 
     unet = UNet1d(in_channels=1, out_channels=1, model_channels=8,
                   channel_mult=(1, 2), attention_resolutions=(2,), num_groups=4)
     z0 = jnp.zeros((2, 128, 1))
-    params = unet.init(rng, z0, jnp.zeros((2,), jnp.int32))["params"]
+    params = jit_init(unet, rng, z0, jnp.zeros((2,), jnp.int32))["params"]
     opt = optax.adam(2.5e-5)  # v1 base_lr config
     opt_state = opt.init(params)
 

@@ -1,5 +1,6 @@
 """First-generation (v1) pipeline component tests."""
 import jax
+from sleepgen.utils import jit_init
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,7 +68,7 @@ def test_aekl_v1_shapes():
                         num_groups=4)
     x = jnp.zeros((2, 256, 1))
     rng = jax.random.PRNGKey(0)
-    params = m.init({"params": rng}, x, rng)
+    params = jit_init(m, {"params": rng}, x, rng)
     recon, z_mu, z_sigma = m.apply(params, x, rng)
     assert z_mu.shape == (2, 128, 3)  # one downsample for ch_mult len 2
     assert recon.shape == (2, 256, 1)
