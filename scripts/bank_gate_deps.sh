@@ -24,6 +24,8 @@ DEPS=(
   /tmp/sleepgen_decode_r4      # trained USleep feature space (stages 5-7)
   /tmp/sleepgen_refbatch       # reference-batch flagship run dirs (stages 5,7)
   /tmp/sleepgen_refbatch_spec  # reference-batch spectral run dirs (stage 6)
+  /tmp/sleepgen_spec_balanced  # balanced-spectral gate run dirs (r5 late gate)
+  /tmp/sleepgen_spec_mid       # mid-weight spectral gate run dirs (r5 late gate)
 )
 
 case "${1:-}" in

@@ -68,6 +68,11 @@ def main():
     p.add_argument("--spe", action="store_true",
                    help="train the AEKL with the Jukebox spectral loss "
                         "(the reference's --spe spectral axis)")
+    p.add_argument("--spectral_weight", type=float, default=None,
+                   help="override cfg.losses.spectral_weight (reference "
+                        "ships 1e4, which SPECTRAL_AUDIT_r4.json measures "
+                        "as a ~1e9:1 spectral:L1 gradient ratio; ~1e-5 "
+                        "balances the warm gradients at batch 256)")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help=">0: train the LDM with an EMA of the UNet params "
                         "and sample from it (beyond-parity knob; the "
@@ -101,6 +106,8 @@ def main():
     cfg.aekl.latent_channels = args.latent_channels
     cfg.fast_train_math = bool(args.fast_train_math)
     cfg.spectral = bool(args.spe)
+    if args.spectral_weight is not None:
+        cfg.losses.spectral_weight = args.spectral_weight
     cfg.diffusion.ema_decay = args.ema_decay
     if args.small:
         cfg.unet.model_channels = 32
@@ -279,6 +286,8 @@ def main():
         "psd_log_correlation": psd_corr,
         "fast_train_math": bool(args.fast_train_math),
         "spectral": bool(args.spe),
+        "spectral_weight": (args.spectral_weight if args.spectral_weight
+                            is not None else (1e4 if args.spe else None)),
         "aekl_batch": args.batch_size,
         "ldm_batch": args.ldm_batch_size or args.batch_size,
         "n_recordings": args.n_recordings,
